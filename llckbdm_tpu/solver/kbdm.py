@@ -1,0 +1,250 @@
+"""TPU-native KBDM solver (oracle counterpart: oracle.reference.kbdm).
+
+Design (SURVEY.md §7, BASELINE.json:5 north star) — NOT a port of the
+LAPACK-based oracle, but the same math restructured for the MXU:
+
+* The truncated SVD of the m x m Hankel U0 is computed by **randomized
+  subspace iteration + Rayleigh-Ritz** (a few U0-matmuls on m x k blocks)
+  instead of a full O(m^3) dense SVD.  U0 is complex *symmetric* (Hankel), so
+  the Rayleigh-Ritz step is a k x k **Takagi** factorization, which makes the
+  right singular block exactly conj(left) and the reduced matrix exactly
+  complex-symmetric.
+* The reduced p x p eigenproblem is solved by the complex-symmetric Jacobi
+  kernel (ops.jacobi.eig_cs) — XLA has no nonsymmetric eig on TPU at all.
+* Vandermonde least-squares amplitudes use the closed-form geometric-series
+  Gram matrix (O(p^2) instead of O(N p^2)) plus a chunked power-scan for the
+  right-hand side, solved via the Jacobi eigh.
+* The multi-m sweep shares ONE materialized m_max Hankel operator: the m x m
+  problem is the leading submatrix, selected by row/col masks, so the whole
+  sweep is a single batched launch (SURVEY.md §7 hard part 4).
+
+Everything is fixed-shape and masked: line-list slots beyond the numerical
+rank carry mask=0 and pole mu=0.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cplx import (CArr, cabs, cangle, cmatmul, cmatmul_cr, chermitian,
+                        cmul, conj, cpow_int, cscale_cols, cscale_rows, cwhere)
+from ..ops import jacobi
+from ..ops.hankel import hankel_matrices
+from ..ops.linalg import lowner_orth, takagi_small, hermitian_solve
+from ..signals import LineList
+
+
+
+
+import functools as _functools
+_es = _functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+@dataclass(frozen=True)
+class KbdmConfig:
+    """Solver configuration (kwargs parity with the oracle: m, p, plus
+    TPU-specific knobs; SURVEY.md §5 'config system')."""
+
+    p: int = 24                  # truncation rank / line capacity per run
+    oversample: int = 8          # extra subspace dims for the randomized SVD
+    subspace_iters: int = 2      # power iterations (each ~ one U0 U0^H apply)
+    eigh_sweeps: int = 8         # Jacobi sweeps for Hermitian eigh
+    eig_sweeps: int = 10         # Jacobi sweeps for complex-symmetric eig
+    rank_tol: float = 1e-6       # sigma truncation relative to sigma_max
+    mu_log_max: float = 30.0     # clamp |mu|^N <= e^this (oracle parity)
+    t2_min: float = 0.0          # keep lines with T2 > t2_min
+    amp_min: float = 0.0         # keep lines with A >= amp_min
+    gram_rcond: float = 1e-7     # pseudo-inverse cutoff in the Gram solve
+    rhs_chunk: int = 128         # time-axis chunk for the V^H c scan
+    seed: int = 0                # subspace sketch seed
+
+
+def _poles_to_lines(mu: CArr, keep, c: CArr, dwell: float, n: int,
+                    cfg: KbdmConfig) -> LineList:
+    """Shared tail of every KBDM variant: poles -> (A, T2, f, phase) list.
+
+    mu   : (..., p) complex poles (masked slots are ~0)
+    keep : (..., p) bool validity from rank truncation
+    c    : (..., n) signal (for the amplitude RHS)
+    """
+    dt = np.float32(dwell)
+    mu_abs = cabs(mu)
+    valid = keep & (mu_abs > 1e-12)
+
+    # clamp |mu| so |mu|^n never overflows (oracle reference.kbdm does the
+    # same; clamped poles keep T2 < 0 and are filtered)
+    mu_max = np.float32(np.exp(cfg.mu_log_max / n))
+    scale = jnp.where(mu_abs > mu_max, mu_max / jnp.maximum(mu_abs, 1e-30), 1.0)
+    mu = CArr(mu.re * scale, mu.im * scale)
+    mu_abs = jnp.minimum(mu_abs, mu_max)
+
+    freq = cangle(mu) / np.float32(2.0 * np.pi) / dt
+    log_abs = jnp.log(jnp.maximum(mu_abs, 1e-30))
+    t2 = -dt / jnp.where(jnp.abs(log_abs) > 1e-12, log_abs, -1e-12)
+
+    # --- Vandermonde least squares ------------------------------------
+    # Gram: G[j,l] = sum_n (conj(mu_j) mu_l)^n = (1 - z^N) / (1 - z)
+    z = cmul(conj(CArr(mu.re[..., :, None], mu.im[..., :, None])),
+             CArr(mu.re[..., None, :], mu.im[..., None, :]))  # (..., p, p)
+    zsafe = cwhere(valid[..., :, None] & valid[..., None, :], z,
+                   CArr(jnp.zeros_like(z.re), jnp.zeros_like(z.re)))
+    zn = cpow_int(cwhere(cabs(zsafe) > 1e-30, zsafe,
+                         CArr(jnp.ones_like(z.re), jnp.zeros_like(z.re))),
+                  jnp.float32(n))
+    zn = cwhere(cabs(zsafe) > 1e-30, zn,
+                CArr(jnp.zeros_like(z.re), jnp.zeros_like(z.re)))
+    one = CArr(jnp.ones_like(z.re), jnp.zeros_like(z.re))
+    num = CArr(one.re - zn.re, -zn.im)
+    den = CArr(one.re - zsafe.re, -zsafe.im)
+    near1 = cabs(den) < 1e-6
+    den_safe = cwhere(near1, one, den)
+    g_ratio = cmul(num, CArr(den_safe.re, -den_safe.im))
+    g_ratio = CArr(g_ratio.re / (den_safe.re**2 + den_safe.im**2),
+                   g_ratio.im / (den_safe.re**2 + den_safe.im**2))
+    g_n = CArr(jnp.full_like(z.re, np.float32(n)), jnp.zeros_like(z.re))
+    g = cwhere(near1, g_n, g_ratio)
+    # masked slots: identity row/col so the solve stays well-posed
+    pair_valid = valid[..., :, None] & valid[..., None, :]
+    eye = jnp.eye(mu.re.shape[-1], dtype=mu.re.dtype)
+    g = cwhere(pair_valid, g, CArr(jnp.broadcast_to(eye, g.re.shape),
+                                   jnp.zeros_like(g.re)))
+
+    # RHS: b_j = sum_n conj(mu_j)^n c_n  (chunked scan over the time axis)
+    chunk = cfg.rhs_chunk
+    n_chunks = (n + chunk - 1) // chunk
+    n_pad = n_chunks * chunk
+    c_pad = CArr(jnp.concatenate(
+        [c.re, jnp.zeros((*c.re.shape[:-1], n_pad - n), c.re.dtype)], -1),
+        jnp.concatenate(
+        [c.im, jnp.zeros((*c.im.shape[:-1], n_pad - n), c.im.dtype)], -1))
+    ks = jnp.arange(chunk, dtype=mu.re.dtype)
+    # base: (..., p, chunk) = mu^k for k in [0, chunk);  masked slots use mu=1
+    # to keep log() finite (their contribution is zeroed below).
+    mu_for_pow = CArr(jnp.where(valid, mu.re, 1.0),
+                      jnp.where(valid, mu.im, 0.0))
+    base = cpow_int(CArr(mu_for_pow.re[..., :, None],
+                         mu_for_pow.im[..., :, None]),
+                    ks[(None,) * mu.re.ndim + (slice(None),)])
+    step = cpow_int(mu_for_pow, jnp.float32(chunk))   # (..., p): mu^chunk
+
+    def body(carry, idx):
+        # carry: (..., p) complex = mu^(idx*chunk)
+        pw = cmul(CArr(carry.re[..., :, None], carry.im[..., :, None]), base)
+        cseg = CArr(jax.lax.dynamic_slice_in_dim(c_pad.re, idx * chunk, chunk, -1),
+                    jax.lax.dynamic_slice_in_dim(c_pad.im, idx * chunk, chunk, -1))
+        # b_j += sum_k conj(pw[j,k]) * cseg[k]
+        br = _es('...pk,...k->...p', pw.re, cseg.re) + \
+             _es('...pk,...k->...p', pw.im, cseg.im)
+        bi = _es('...pk,...k->...p', pw.re, cseg.im) - \
+             _es('...pk,...k->...p', pw.im, cseg.re)
+        new_carry = cmul(carry, step)
+        return new_carry, (br, bi)
+
+    carry0 = CArr(jnp.ones_like(mu.re), jnp.zeros_like(mu.re))
+    _, (brs, bis) = jax.lax.scan(body, carry0, jnp.arange(n_chunks))
+    b = CArr(brs.sum(0) * jnp.where(valid, 1.0, 0.0),
+             bis.sum(0) * jnp.where(valid, 1.0, 0.0))
+
+    d = hermitian_solve(g, b, rcond=cfg.gram_rcond, sweeps=cfg.eigh_sweeps)
+    amp = cabs(d)
+    phase = cangle(d)
+
+    final = valid & (t2 > cfg.t2_min) & (amp >= cfg.amp_min)
+    t2 = jnp.where(final, t2, 1.0)
+    return LineList(
+        amplitude=jnp.where(final, amp, 0.0),
+        t2=t2,
+        frequency=jnp.where(final, freq, 0.0),
+        phase=jnp.where(final, phase, 0.0),
+        mask=final.astype(mu.re.dtype),
+    )
+
+
+def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
+               cfg: KbdmConfig) -> LineList:
+    """Batched multi-m KBDM: c (..., N) -> LineList (..., S, p).
+
+    One batched launch for the whole sweep: the m_max Hankel operator is
+    materialized once; each sweep entry applies row/col masks selecting its
+    leading m x m block.
+    """
+    m_values = tuple(int(m) for m in m_values)
+    m_max = max(m_values)
+    n = c.re.shape[-1]
+    if n < 2 * m_max:
+        raise ValueError(f"need N >= 2*m_max: N={n}, m_max={m_max}")
+    p, k = cfg.p, cfg.p + cfg.oversample
+
+    h0 = hankel_matrices(c, m_max)            # (..., m_max, m_max)
+    h1 = hankel_matrices(c, m_max, shift=1)
+    masks = np.zeros((len(m_values), m_max), np.float32)
+    for s, m in enumerate(m_values):
+        masks[s, :m] = 1.0
+    masks = jnp.asarray(masks)                # (S, m_max)
+
+    omega = jax.random.normal(jax.random.PRNGKey(cfg.seed), (m_max, k),
+                              dtype=c.re.dtype)
+
+    def one_sweep(mask):
+        # mask: (m_max,) — everything below closes over h0/h1 with batch dims
+        mk = mask[:, None]
+
+        def apply_h0(x):
+            xm = CArr(x.re * mk, x.im * mk)
+            y = cmatmul(h0, xm)
+            return CArr(y.re * mk, y.im * mk)
+
+        def apply_h1(x):
+            xm = CArr(x.re * mk, x.im * mk)
+            y = cmatmul(h1, xm)
+            return CArr(y.re * mk, y.im * mk)
+
+        y = apply_h0(CArr(omega, jnp.zeros_like(omega)))
+        for _ in range(cfg.subspace_iters):
+            q, _ = lowner_orth(y, sweeps=cfg.eigh_sweeps)
+            y = apply_h0(conj(q))
+        q, _ = lowner_orth(y, sweeps=cfg.eigh_sweeps)
+
+        # Rayleigh-Ritz Takagi on the k x k projected Hankel
+        m_small = cmatmul(chermitian(q), apply_h0(conj(q)))
+        m_small = CArr(0.5 * (m_small.re + jnp.swapaxes(m_small.re, -1, -2)),
+                       0.5 * (m_small.im + jnp.swapaxes(m_small.im, -1, -2)))
+        w, sig = takagi_small(m_small, sweeps=cfg.eigh_sweeps)
+        u = cmatmul(q, w)                      # (..., m_max, k)
+        u_p = u[..., :, :p]
+        sig_p = sig[..., :p]
+        keep = sig_p > sig[..., :1] * cfg.rank_tol
+        s_isq = jnp.where(keep, jax.lax.rsqrt(jnp.maximum(sig_p, 1e-30)), 0.0)
+
+        # reduced matrix  U~ = S^-1/2 U_p^H U1 conj(U_p) S^-1/2
+        t = apply_h1(conj(u_p))
+        ut = cmatmul(chermitian(u_p), t)
+        ut = cscale_rows(CArr(s_isq, jnp.zeros_like(s_isq)),
+                         cscale_cols(ut, CArr(s_isq, jnp.zeros_like(s_isq))))
+        ut = CArr(0.5 * (ut.re + jnp.swapaxes(ut.re, -1, -2)),
+                  0.5 * (ut.im + jnp.swapaxes(ut.im, -1, -2)))
+        mu = jacobi.eig_cs(ut, sweeps=cfg.eig_sweeps)
+        return mu, keep
+
+    mu_s, keep_s = jax.vmap(one_sweep)(masks)  # (S, ..., p)
+    # move sweep axis next-to-last: (S, ..., p) -> (..., S, p)
+    batch_ndim = c.re.ndim - 1
+    perm = tuple(range(1, batch_ndim + 1)) + (0, batch_ndim + 1)
+    mu_s = CArr(jnp.transpose(mu_s.re, perm), jnp.transpose(mu_s.im, perm))
+    keep_s = jnp.transpose(keep_s, perm)
+
+    c_b = CArr(c.re[..., None, :], c.im[..., None, :])  # broadcast over S
+    return _poles_to_lines(mu_s, keep_s, c_b, dwell, n, cfg)
+
+
+def kbdm_fit(c: CArr, dwell: float, m: int, cfg: KbdmConfig) -> LineList:
+    """Single-m KBDM fit: c (..., N) -> LineList (..., p).
+
+    Oracle counterpart: oracle.reference.kbdm(data, dwell, m, p).
+    """
+    lines = kbdm_sweep(c, dwell, (m,), cfg)
+    return LineList(*(x[..., 0, :] for x in lines))
