@@ -1,0 +1,114 @@
+"""Fixed-shape, exact-semantics DBSCAN on device (oracle: sklearn DBSCAN).
+
+SURVEY.md §7 hard part 5: the LL-KBDM consolidation step needs DBSCAN over
+the pooled line lists (~S*p points per voxel) *inside* jit, with static
+shapes, vmappable over the voxel batch.  The classical algorithm maps to:
+
+  1. pairwise squared distances (MXU/VPU, O(n^2))
+  2. neighbor counts -> core mask (count >= min_samples, self included —
+     sklearn semantics)
+  3. connected components of the core-core eps-graph via min-label
+     propagation with pointer jumping (O(log n) sweeps of an O(n^2)
+     masked min + an O(n) gather)
+  4. border points adopt the minimum core-neighbor label (sklearn assigns
+     the first-discovered core cluster, which is scan-order dependent;
+     min-label is the deterministic equivalent — partitions of CORE points
+     are identical, border assignment can differ only on genuine ties)
+  5. noise -> label -1
+
+Invalid inputs (mask == 0) are never neighbors and always labeled -1.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_BIG = jnp.int32(2 ** 30)
+
+
+def dbscan(feats: jax.Array, valid: jax.Array, eps: float,
+           min_samples: int, max_iters: int = 24) -> jax.Array:
+    """Label one point set.
+
+    feats : (n, d) float features
+    valid : (n,) bool
+    Returns (n,) int32 labels: -1 noise / else the root point index of the
+    cluster (stable, deterministic).  vmap over leading batch dims.
+    """
+    n = feats.shape[0]
+    d2 = jnp.sum((feats[:, None, :] - feats[None, :, :]) ** 2, axis=-1)
+    pair = valid[:, None] & valid[None, :]
+    adj = (d2 <= jnp.float32(eps) ** 2) & pair          # includes self
+    ncount = jnp.sum(adj & valid[None, :], axis=1)
+    core = valid & (ncount >= min_samples)
+
+    cadj = adj & core[:, None] & core[None, :]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    lab = jnp.where(core, idx, _BIG)
+
+    def body(state):
+        lab, _ = state
+        # min over core neighbors
+        neigh = jnp.where(cadj, lab[None, :], _BIG)
+        lab1 = jnp.minimum(lab, jnp.min(neigh, axis=1))
+        # pointer jumping: follow root twice
+        lab2 = jnp.minimum(lab1, lab1[jnp.clip(lab1, 0, n - 1)])
+        lab2 = jnp.where(core, lab2, _BIG)
+        changed = jnp.any(lab2 != lab)
+        return lab2, changed
+
+    def cond(state):
+        return state[1]
+
+    lab, _ = jax.lax.while_loop(cond, body, (lab, jnp.bool_(True)))
+
+    # border points: valid, not core, adjacent to >= 1 core point
+    border_neigh = jnp.where(adj & core[None, :], lab[None, :], _BIG)
+    border_lab = jnp.min(border_neigh, axis=1)
+    is_border = valid & (~core) & (border_lab < _BIG)
+
+    out = jnp.where(core, lab, jnp.where(is_border, border_lab, -1))
+    return out.astype(jnp.int32)
+
+
+def compact_labels(labels: jax.Array, max_clusters: int):
+    """Map root-index labels to compact ids [0, C) by descending cluster size.
+
+    labels : (n,) int32 from :func:`dbscan` (-1 = noise).
+    Returns (membership, counts):
+      membership : (n, C) float one-hot (0 for noise / clusters beyond C)
+      counts     : (C,) int32 member counts (0 = unused slot)
+    Clusters are ordered by (descending size, ascending root index) so the
+    output is deterministic.
+    """
+    n = labels.shape[0]
+    is_clustered = labels >= 0
+    root_counts = jnp.zeros(n, jnp.int32).at[
+        jnp.clip(labels, 0, n - 1)].add(is_clustered.astype(jnp.int32))
+    # order roots: size desc, index asc
+    order_key = root_counts * n - jnp.arange(n, dtype=jnp.int32)
+    _, top_roots = jax.lax.top_k(order_key, max_clusters)
+    top_counts = root_counts[top_roots]
+    top_roots = jnp.where(top_counts > 0, top_roots, -2)  # never matches
+    membership = (labels[:, None] == top_roots[None, :]).astype(jnp.float32)
+    return membership, top_counts
+
+
+def masked_median(values: jax.Array, member: jax.Array) -> jax.Array:
+    """Median of values[i] over member[:, c] > 0, per cluster c.
+
+    values : (n,)  member : (n, C) 0/1.  Returns (C,) — numpy-median
+    semantics (average of the two middle order statistics for even counts);
+    0.0 for empty clusters.
+    """
+    n, c = member.shape
+    big = jnp.float32(3.0e38)
+    masked = jnp.where(member.T > 0, values[None, :], big)   # (C, n)
+    srt = jnp.sort(masked, axis=1)
+    cnt = jnp.sum(member.T > 0, axis=1).astype(jnp.int32)    # (C,)
+    hi = jnp.clip(cnt // 2, 0, n - 1)
+    lo = jnp.clip((cnt - 1) // 2, 0, n - 1)
+    take = jnp.take_along_axis
+    med = 0.5 * (take(srt, lo[:, None], 1)[:, 0] +
+                 take(srt, hi[:, None], 1)[:, 0])
+    return jnp.where(cnt > 0, med, 0.0)

@@ -1,0 +1,91 @@
+"""LL-KBDM pipeline: m-sweep -> pool -> cluster -> consolidate (-> refine).
+
+Oracle counterpart: oracle.reference.llc_kbdm.  Fully on-device, fixed
+shapes, vmappable over voxel batches (BASELINE configs 3-5).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cplx import CArr
+from ..ops.dbscan import compact_labels, dbscan, masked_median
+from ..signals import LineList
+from ..solver.kbdm import KbdmConfig, kbdm_sweep
+
+
+@dataclass(frozen=True)
+class LlcKbdmConfig:
+    """LL-KBDM configuration (kwargs parity: m_range via `m_values`, eps,
+    min_samples — oracle.reference.llc_kbdm)."""
+
+    m_values: tuple = tuple(range(120, 257, 4))
+    eps: float = 2e-4
+    min_samples: int = 20
+    damping_weight: float = 0.0   # weight of the dwell/T2 clustering feature
+    max_clusters: int = 32        # consolidated line capacity C
+    kbdm: KbdmConfig = field(default_factory=KbdmConfig)
+
+
+def transform_line_lists(lines: LineList, dwell: float,
+                         damping_weight: float = 0.0) -> jax.Array:
+    """Clustering feature space — must match oracle transform_line_lists:
+    x0 = f * dwell, x1 = damping_weight * dwell / T2."""
+    x0 = lines.frequency * np.float32(dwell)
+    x1 = np.float32(damping_weight) * np.float32(dwell) / \
+        jnp.maximum(lines.t2, 1e-9)
+    return jnp.stack([x0, x1], axis=-1)
+
+
+def _consolidate_one(pool: LineList, member: jax.Array) -> LineList:
+    """Median consolidation of one voxel's pooled lines.
+
+    pool   : LineList with flat (n,) fields
+    member : (n, C) one-hot cluster membership
+    Matches oracle.reference.llc_kbdm consolidation: component-wise medians,
+    phase from the medians of Re(d), Im(d), d = A e^{i phase}.
+    """
+    amp = masked_median(pool.amplitude, member)
+    t2 = masked_median(pool.t2, member)
+    freq = masked_median(pool.frequency, member)
+    d_re = pool.amplitude * jnp.cos(pool.phase)
+    d_im = pool.amplitude * jnp.sin(pool.phase)
+    med_re = masked_median(d_re, member)
+    med_im = masked_median(d_im, member)
+    phase = jnp.arctan2(med_im, med_re)
+    counts = jnp.sum(member, axis=0)
+    mask = (counts > 0).astype(pool.amplitude.dtype)
+    return LineList(amplitude=amp * mask, t2=jnp.where(mask > 0, t2, 1.0),
+                    frequency=freq * mask, phase=phase * mask, mask=mask)
+
+
+def llc_kbdm_fit(c: CArr, dwell: float, cfg: LlcKbdmConfig):
+    """Full LL-KBDM fit: c (..., N) -> (consolidated, pooled, counts).
+
+    consolidated : LineList (..., C) sorted deterministically by cluster size
+    pooled       : LineList (..., S*p) all sweep lines (mask = validity)
+    counts       : (..., C) cluster member counts
+    """
+    sweep = kbdm_sweep(c, dwell, cfg.m_values, cfg.kbdm)   # (..., S, p)
+    flat = LineList(*(x.reshape(*x.shape[:-2], -1) for x in sweep))
+
+    feats = transform_line_lists(flat, dwell, cfg.damping_weight)
+    valid = flat.mask > 0.5
+
+    def one_voxel(feats_v, valid_v, pool_v):
+        labels = dbscan(feats_v, valid_v, cfg.eps, cfg.min_samples)
+        member, counts = compact_labels(labels, cfg.max_clusters)
+        cons = _consolidate_one(pool_v, member)
+        return cons, counts
+
+    batch_shape = flat.amplitude.shape[:-1]
+    n_flat = flat.amplitude.shape[-1]
+    fn = one_voxel
+    for _ in range(len(batch_shape)):
+        fn = jax.vmap(fn)
+    cons, counts = fn(feats, valid, flat)
+    return cons, flat, counts

@@ -1,0 +1,206 @@
+"""Double-float Gauss-Newton (VARPRO-style) pole refinement.
+
+The f32 KBDM pipeline delivers poles to ~1e-4 relative; the accuracy gate is
+1e-8 (BASELINE.json:5) on hardware with no float64.  Rather than emulate an
+f64 SVD/eigensolve, this stage attacks the *actual* estimation problem: the
+separable nonlinear least squares
+
+    min_{z, d}  sum_n | c_n - sum_k d_k z_k^n |^2
+
+with Gauss-Newton, storing the parameters (poles z_k, complex amplitudes
+d_k) as double-float pairs and evaluating the residual in double-float
+arithmetic (utils.df).  The normal matrix and the linear solve run in plain
+f32 (mixed-precision iterative refinement: the correction direction only
+needs f32 accuracy; the residual evaluation is what must not cancel).  With
+2-4 iterations the genuine poles converge quadratically to the double-float
+noise floor (~1e-13), matching the scipy float64 oracle far below 1e-8.
+
+For a noiseless signal whose line count equals the number of refined lines,
+the GN fixed point IS the exact interpolating solution — identical (to f64
+rounding) to what the oracle's KBDM chain produces, which is how the 1e-8
+oracle-match gate is met on f32-only hardware.
+
+Host-side conversion (``refined_to_np``) turns df poles into (A, T2, f,
+phase) in float64 — atan2/log at double precision on C scalars per voxel is
+host work by design (the device has no f64 and trig to 1e-14 would need
+table-based double-float argument reduction for no throughput benefit).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.cplx import CArr
+from ..ops.linalg import hermitian_solve
+from ..signals import LineList
+from ..utils import df as D
+from ..utils.df import DF, DFC
+
+
+class RefinedLines(NamedTuple):
+    """Refined poles/amplitudes in double-float, plus f32 LineList view."""
+
+    z: DFC          # (..., C) poles
+    d: DFC          # (..., C) complex amplitudes
+    mask: jax.Array  # (..., C)
+    lines: LineList  # f32 view (device-side convenience)
+
+
+@dataclass(frozen=True)
+class RefineConfig:
+    iters: int = 3
+    ridge: float = 1e-12         # relative Tikhonov in the GN solve
+    max_step: float = 0.1        # clip on |delta z| per iteration
+    eigh_sweeps: int = 10
+
+
+def _dfc_bcast(x: DFC, shape) -> DFC:
+    return DFC(DF(jnp.broadcast_to(x.re.hi, shape),
+                  jnp.broadcast_to(x.re.lo, shape)),
+               DF(jnp.broadcast_to(x.im.hi, shape),
+                  jnp.broadcast_to(x.im.lo, shape)))
+
+
+def refine_lines(c: DFC, lines: LineList, dwell: float,
+                 cfg: RefineConfig = RefineConfig()) -> RefinedLines:
+    """Polish a consolidated LineList against the double-float signal.
+
+    c     : DFC (..., N) — the measured signal split into (hi, lo) f32 pairs
+            (use utils.df.dfc_from_np on the float64 data)
+    lines : LineList (..., C) — f32 initial values (masked slots ignored)
+    """
+    n = c.re.hi.shape[-1]
+    dt = np.float32(dwell)
+    mask = lines.mask > 0.5
+
+    # initial z = exp((i 2 pi f - 1/T2) dt), d = A e^{i phase}  (f32 -> df)
+    decay = jnp.exp(-dt / jnp.maximum(lines.t2, 1e-9))
+    theta = 2.0 * jnp.pi * lines.frequency * dt
+    z = D.dfc_from_f32(jnp.where(mask, decay * jnp.cos(theta), 0.0),
+                       jnp.where(mask, decay * jnp.sin(theta), 0.0))
+    d = D.dfc_from_f32(jnp.where(mask, lines.amplitude * jnp.cos(lines.phase), 0.0),
+                       jnp.where(mask, lines.amplitude * jnp.sin(lines.phase), 0.0))
+
+    ns = jnp.arange(n, dtype=jnp.float32)
+
+    def gn_step(state):
+        z, d = state
+        # P[k, n] = z_k^n in df;  shapes (..., C, N)
+        p = D.dfc_powers(z, n)
+        # model_n = sum_k d_k P[k, n]  (df reduce over C)
+        dkp = D.dfc_mul(_dfc_bcast(DFC(DF(d.re.hi[..., None], d.re.lo[..., None]),
+                                       DF(d.im.hi[..., None], d.im.lo[..., None])),
+                                   p.shape), p)
+        model = D.dfc_sum(dkp, axis=-2)                      # (..., N)
+        r = D.dfc_sub(c, model)                              # df residual
+
+        # f32 views for the Jacobian/normal matrix
+        p32_re, p32_im = p.re.hi, p.im.hi                    # (..., C, N)
+        d32_re, d32_im = d.re.hi, d.im.hi
+        # D[k, n] = d_k * n * z_k^(n-1) = (d_k / z_k) * n * P[k, n]
+        zabs2 = z.re.hi**2 + z.im.hi**2
+        inv = jnp.where(mask, 1.0 / jnp.maximum(zabs2, 1e-20), 0.0)
+        doz_re = (d32_re * z.re.hi + d32_im * z.im.hi) * inv
+        doz_im = (d32_im * z.re.hi - d32_re * z.im.hi) * inv
+        w_re = ns * p32_re                                   # n * P
+        w_im = ns * p32_im
+        dj_re = doz_re[..., None] * w_re - doz_im[..., None] * w_im
+        dj_im = doz_re[..., None] * w_im + doz_im[..., None] * w_re
+
+        # stack J = [V, D] -> (..., 2C, N)
+        j_re = jnp.concatenate([p32_re, dj_re], axis=-2)
+        j_im = jnp.concatenate([p32_im, dj_im], axis=-2)
+
+        # normal matrix G = J^H J (f32, MXU)
+        es = lambda *a: jnp.einsum(*a, precision=jax.lax.Precision.HIGHEST)
+        g_re = es('...kn,...ln->...kl', j_re, j_re) + \
+               es('...kn,...ln->...kl', j_im, j_im)
+        g_im = es('...kn,...ln->...kl', j_re, j_im) - \
+               es('...kn,...ln->...kl', j_im, j_re)
+
+        # rhs = J^H r: df dot products — J in f32, r kept in df so the
+        # near-cancelling accumulation stays exact.
+        def dfdot(j_r, j_i):
+            # (..., 2C, N) x (..., N) -> (..., 2C) complex df
+            rre = DF(jnp.broadcast_to(r.re.hi[..., None, :], j_r.shape),
+                     jnp.broadcast_to(r.re.lo[..., None, :], j_r.shape))
+            rim = DF(jnp.broadcast_to(r.im.hi[..., None, :], j_r.shape),
+                     jnp.broadcast_to(r.im.lo[..., None, :], j_r.shape))
+            re_t = D.df_add(D.df_scale(rre, j_r), D.df_scale(rim, j_i))
+            im_t = D.df_sub(D.df_scale(rim, j_r), D.df_scale(rre, j_i))
+            return D.df_sum(re_t, axis=-1), D.df_sum(im_t, axis=-1)
+        rhs_re_df, rhs_im_df = dfdot(j_re, j_im)
+        rhs = CArr(rhs_re_df.hi + rhs_re_df.lo, rhs_im_df.hi + rhs_im_df.lo)
+
+        # masked slots: identity rows
+        mask2 = jnp.concatenate([mask, mask], axis=-1)
+        pair = mask2[..., :, None] & mask2[..., None, :]
+        eye = jnp.eye(mask2.shape[-1], dtype=g_re.dtype)
+        g = CArr(jnp.where(pair, g_re, jnp.broadcast_to(eye, g_re.shape)),
+                 jnp.where(pair, g_im, 0.0))
+        rhs = CArr(jnp.where(mask2, rhs.re, 0.0),
+                   jnp.where(mask2, rhs.im, 0.0))
+
+        tr = jnp.sum(jnp.abs(jnp.diagonal(g.re, axis1=-2, axis2=-1)),
+                     axis=-1, keepdims=True)
+        ridge = cfg.ridge * tr / mask2.shape[-1]
+        delta = hermitian_solve(g, rhs, ridge=0.0, rcond=1e-7,
+                                sweeps=cfg.eigh_sweeps)
+
+        cc = mask.shape[-1]
+        dd_re, dd_im = delta.re[..., :cc], delta.im[..., :cc]
+        dz_re, dz_im = delta.re[..., cc:], delta.im[..., cc:]
+        # clip pole steps
+        step = jnp.hypot(dz_re, dz_im)
+        clip = jnp.where(step > cfg.max_step, cfg.max_step / jnp.maximum(step, 1e-30), 1.0)
+        dz_re, dz_im = dz_re * clip, dz_im * clip
+
+        z2 = DFC(D.df_add(z.re, D.df_from_f32(jnp.where(mask, dz_re, 0.0))),
+                 D.df_add(z.im, D.df_from_f32(jnp.where(mask, dz_im, 0.0))))
+        d2 = DFC(D.df_add(d.re, D.df_from_f32(jnp.where(mask, dd_re, 0.0))),
+                 D.df_add(d.im, D.df_from_f32(jnp.where(mask, dd_im, 0.0))))
+        return (z2, d2)
+
+    # Unrolled GN loop: iters is small (1-4) and a lax.scan here was measured
+    # to pessimize XLA catastrophically (~10^4 x runtime on CPU); straight-line
+    # unrolling compiles and runs at the expected cost.
+    state = (z, d)
+    for _ in range(cfg.iters):
+        state = gn_step(state)
+    z, d = state
+
+    # f32 view
+    zr, zi = z.re.hi + z.re.lo, z.im.hi + z.im.lo
+    dr, di = d.re.hi + d.re.lo, d.im.hi + d.im.lo
+    zabs = jnp.hypot(zr, zi)
+    freq = jnp.arctan2(zi, zr) / (2.0 * np.float32(np.pi) * dt)
+    t2 = -dt / jnp.log(jnp.maximum(jnp.where(mask, zabs, 0.5), 1e-30))
+    view = LineList(
+        amplitude=jnp.where(mask, jnp.hypot(dr, di), 0.0),
+        t2=jnp.where(mask, t2, 1.0),
+        frequency=jnp.where(mask, freq, 0.0),
+        phase=jnp.where(mask, jnp.arctan2(di, dr), 0.0),
+        mask=mask.astype(jnp.float32),
+    )
+    return RefinedLines(z=z, d=d, mask=mask.astype(jnp.float32), lines=view)
+
+
+def refined_to_np(ref: RefinedLines, dwell: float) -> np.ndarray:
+    """Host-side float64 conversion: df poles -> (A, T2, f, phase) rows.
+
+    Returns (n_valid, 4) float64 sorted by frequency (single-voxel input) —
+    the array compared against the scipy oracle in the 1e-8 gate tests.
+    """
+    z = D.dfc_to_np(ref.z)
+    d = D.dfc_to_np(ref.d)
+    mask = np.asarray(ref.mask) > 0.5
+    z, d = z[mask], d[mask]
+    freq = np.angle(z) / (2.0 * np.pi * dwell)
+    with np.errstate(divide="ignore"):
+        t2 = -dwell / np.log(np.abs(z))
+    out = np.stack([np.abs(d), t2, freq, np.angle(d)], axis=1)
+    return out[np.argsort(out[:, 2])]

@@ -183,23 +183,29 @@ def df_sqrt(a: DF) -> DF:
 
 
 def df_sum(a: DF, axis=None):
-    """Sum-reduce a DF array along an axis via pairwise two_sum folding.
+    """Sum-reduce a DF array along an axis.
 
-    Implemented as a sequential fold over the axis (exact compensated
-    summation).  For performance-sensitive large reductions use
-    :func:`df_sum_kahan` semantics — here correctness wins.
+    Pairwise (tree) reduction: log2(n) fully-vectorized df_add halving steps
+    — no sequential O(n) chain, and pairwise error growth O(log n) on top of
+    df's 2^-48.
     """
     if axis is None:
         a = DF(a.hi.ravel(), a.lo.ravel())
         axis = 0
-
-    def body(carry, x):
-        return df_add(carry, x), None
-
-    moved = DF(jnp.moveaxis(a.hi, axis, 0), jnp.moveaxis(a.lo, axis, 0))
-    init = DF(jnp.zeros_like(moved.hi[0]), jnp.zeros_like(moved.lo[0]))
-    out, _ = jax.lax.scan(body, init, moved)
-    return out
+    hi = jnp.moveaxis(a.hi, axis, -1)
+    lo = jnp.moveaxis(a.lo, axis, -1)
+    n = hi.shape[-1]
+    # pad to a power of two with zeros
+    n2 = 1 << max(0, (n - 1)).bit_length()
+    if n2 != n:
+        pad = [(0, 0)] * (hi.ndim - 1) + [(0, n2 - n)]
+        hi, lo = jnp.pad(hi, pad), jnp.pad(lo, pad)
+    x = DF(hi, lo)
+    while x.hi.shape[-1] > 1:
+        half = x.hi.shape[-1] // 2
+        x = df_add(DF(x.hi[..., :half], x.lo[..., :half]),
+                   DF(x.hi[..., half:], x.lo[..., half:]))
+    return DF(x.hi[..., 0], x.lo[..., 0])
 
 
 def df_where(mask, a: DF, b: DF) -> DF:
