@@ -1,0 +1,131 @@
+"""Sharded MRSI voxel-grid fitting (BASELINE configs 4-5).
+
+Three entry points, increasing in scale:
+
+* :func:`fit_grid`            — single-device, vmapped over the voxel axis
+                                (config 4 on one chip).
+* :func:`fit_grid_sharded`    — voxel rows partitioned over the mesh 'data'
+                                axis with NamedSharding + jit; XLA runs each
+                                shard independently (embarrassingly parallel —
+                                zero collectives on the hot path, DP over
+                                ICI+DCN).  Config 5's 256x256 grid path.
+* :func:`refine_grid_timesharded` — the Gauss-Newton refinement with the
+                                signal TIME axis additionally split over the
+                                'time' mesh axis inside shard_map: the normal
+                                matrix / amplitude-RHS partial sums are
+                                exchanged via psum/all_gather collectives
+                                (BASELINE.json:5 "amplitude right-hand-side
+                                halos exchanged via collectives overlapped
+                                with the eigensolve" — XLA's latency-hiding
+                                scheduler overlaps the psum with the
+                                independent per-voxel solves).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.cplx import CArr
+from ..pipeline.llckbdm import LlcKbdmConfig, llc_kbdm_fit
+from ..signals import LineList
+from ..solver.refine import RefineConfig, RefinedLines, refine_lines
+from ..utils import df as D
+from ..utils.df import DF, DFC
+
+
+def fit_grid(c: CArr, dwell: float, cfg: LlcKbdmConfig):
+    """Jitted LL-KBDM over a voxel batch c (..., N) on the local device."""
+    fit = jax.jit(functools.partial(llc_kbdm_fit, dwell=dwell, cfg=cfg))
+    return fit(c)
+
+
+def _device_put_sharded(c: CArr, mesh: Mesh) -> CArr:
+    sh = NamedSharding(mesh, P("data"))
+    return CArr(jax.device_put(c.re, sh), jax.device_put(c.im, sh))
+
+
+def fit_grid_sharded(c: CArr, dwell: float, cfg: LlcKbdmConfig, mesh: Mesh):
+    """LL-KBDM over a (V, N) voxel batch row-partitioned over mesh['data'].
+
+    V must be divisible by the 'data' axis size.  Returns (consolidated,
+    pooled, counts) with the same row partitioning (results stay sharded —
+    gather with jax.device_get only what you need).
+    """
+    v = c.re.shape[0]
+    ndata = mesh.shape["data"]
+    if v % ndata:
+        raise ValueError(f"voxel count {v} not divisible by data={ndata}")
+    c = _device_put_sharded(c, mesh)
+    row = NamedSharding(mesh, P("data"))
+
+    fit = jax.jit(
+        functools.partial(llc_kbdm_fit, dwell=dwell, cfg=cfg),
+        out_shardings=(
+            LineList(*([row] * 5)),
+            LineList(*([row] * 5)),
+            row,
+        ),
+    )
+    return fit(c)
+
+
+def refine_grid_timesharded(c: DFC, lines: LineList, dwell: float,
+                            mesh: Mesh,
+                            cfg: RefineConfig = RefineConfig()) -> RefinedLines:
+    """Refine a sharded grid's line lists with the time axis split over
+    mesh['time'] and voxels over mesh['data'].
+
+    c     : DFC (V, N) double-float signals; N divisible by the 'time' axis.
+    lines : LineList (V, C) initial values (e.g. fit_grid_sharded output).
+    Returns RefinedLines (V, C), row-partitioned over 'data', replicated
+    over 'time'.
+    """
+    v, n = c.re.hi.shape
+    ntime = mesh.shape["time"]
+    if n % ntime:
+        raise ValueError(f"signal length {n} not divisible by time={ntime}")
+    chunk = n // ntime
+
+    def local(c_loc: DFC, lines_loc: LineList) -> RefinedLines:
+        t0 = chunk * jax.lax.axis_index("time")
+        return refine_lines(c_loc, lines_loc, dwell, cfg,
+                            axis_name="time", t_offset=t0)
+
+    spec_c = DFC(DF(P("data", "time"), P("data", "time")),
+                 DF(P("data", "time"), P("data", "time")))
+    spec_lines = LineList(*([P("data", None)] * 5))
+    out_line = LineList(*([P("data", None)] * 5))
+    out_spec = RefinedLines(
+        z=DFC(DF(P("data", None), P("data", None)),
+              DF(P("data", None), P("data", None))),
+        d=DFC(DF(P("data", None), P("data", None)),
+              DF(P("data", None), P("data", None))),
+        mask=P("data", None),
+        lines=out_line,
+    )
+    fn = shard_map(local, mesh=mesh, in_specs=(spec_c, spec_lines),
+                   out_specs=out_spec, check_rep=False)
+    return jax.jit(fn)(c, lines)
+
+
+def fit_and_refine_grid(c_np: np.ndarray, dwell: float,
+                        cfg: LlcKbdmConfig, mesh: Mesh,
+                        refine_cfg: RefineConfig = RefineConfig()):
+    """Full config-5 step: sharded LL-KBDM fit + time-sharded refinement.
+
+    c_np : (V, N) complex128 host array of voxel signals.
+    Returns (refined: RefinedLines (V, C), counts (V, C)).
+    """
+    c32 = CArr(jnp.asarray(c_np.real, jnp.float32),
+               jnp.asarray(c_np.imag, jnp.float32))
+    cons, _pooled, counts = fit_grid_sharded(c32, dwell, cfg, mesh)
+    c_df = D.dfc_from_np(c_np)
+    sh = NamedSharding(mesh, P("data", "time"))
+    c_df = jax.tree.map(lambda x: jax.device_put(x, sh), c_df)
+    refined = refine_grid_timesharded(c_df, cons, dwell, mesh, refine_cfg)
+    return refined, counts

@@ -66,12 +66,22 @@ def _dfc_bcast(x: DFC, shape) -> DFC:
 
 
 def refine_lines(c: DFC, lines: LineList, dwell: float,
-                 cfg: RefineConfig = RefineConfig()) -> RefinedLines:
+                 cfg: RefineConfig = RefineConfig(), *,
+                 axis_name: str | None = None,
+                 t_offset=None) -> RefinedLines:
     """Polish a consolidated LineList against the double-float signal.
 
     c     : DFC (..., N) — the measured signal split into (hi, lo) f32 pairs
             (use utils.df.dfc_from_np on the float64 data)
     lines : LineList (..., C) — f32 initial values (masked slots ignored)
+
+    Time-sharded mode (the amplitude-RHS collective exchange,
+    BASELINE.json:5): when called inside shard_map with the signal's time
+    axis split over mesh axis ``axis_name``, pass the local chunk's global
+    start index as ``t_offset`` (e.g. ``chunk * lax.axis_index(axis_name)``).
+    The normal matrix is then psum-reduced in f32 and the right-hand side
+    all-gathered and re-summed in double-float (cross-shard cancellation
+    must not lose bits), overlapping with the per-iteration solve.
     """
     n = c.re.hi.shape[-1]
     dt = np.float32(dwell)
@@ -85,12 +95,23 @@ def refine_lines(c: DFC, lines: LineList, dwell: float,
     d = D.dfc_from_f32(jnp.where(mask, lines.amplitude * jnp.cos(lines.phase), 0.0),
                        jnp.where(mask, lines.amplitude * jnp.sin(lines.phase), 0.0))
 
-    ns = jnp.arange(n, dtype=jnp.float32)
+    if t_offset is None:
+        ns = jnp.arange(n, dtype=jnp.float32)
+    else:
+        ns = (jnp.asarray(t_offset, jnp.int32)
+              + jnp.arange(n, dtype=jnp.int32)).astype(jnp.float32)
 
     def gn_step(state):
         z, d = state
         # P[k, n] = z_k^n in df;  shapes (..., C, N)
         p = D.dfc_powers(z, n)
+        if t_offset is not None:
+            # shift the local block to global time: P <- z^t0 * P
+            z0 = D.dfc_pow_traced(z, t_offset)
+            p = D.dfc_mul(_dfc_bcast(
+                DFC(DF(z0.re.hi[..., None], z0.re.lo[..., None]),
+                    DF(z0.im.hi[..., None], z0.im.lo[..., None])),
+                p.shape), p)
         # model_n = sum_k d_k P[k, n]  (df reduce over C)
         dkp = D.dfc_mul(_dfc_bcast(DFC(DF(d.re.hi[..., None], d.re.lo[..., None]),
                                        DF(d.im.hi[..., None], d.im.lo[..., None])),
@@ -121,6 +142,11 @@ def refine_lines(c: DFC, lines: LineList, dwell: float,
                es('...kn,...ln->...kl', j_im, j_im)
         g_im = es('...kn,...ln->...kl', j_re, j_im) - \
                es('...kn,...ln->...kl', j_im, j_re)
+        if axis_name is not None:
+            # f32 normal matrix: psum is accurate enough (it only steers
+            # the correction direction)
+            g_re = jax.lax.psum(g_re, axis_name)
+            g_im = jax.lax.psum(g_im, axis_name)
 
         # rhs = J^H r: df dot products — J in f32, r kept in df so the
         # near-cancelling accumulation stays exact.
@@ -134,6 +160,15 @@ def refine_lines(c: DFC, lines: LineList, dwell: float,
             im_t = D.df_sub(D.df_scale(rim, j_r), D.df_scale(rre, j_i))
             return D.df_sum(re_t, axis=-1), D.df_sum(im_t, axis=-1)
         rhs_re_df, rhs_im_df = dfdot(j_re, j_im)
+        if axis_name is not None:
+            # cross-shard reduction of J^H r must stay in df: all-gather the
+            # per-shard partials (tiny: 2C values) and tree-sum in df.
+            def df_allsum(x: DF) -> DF:
+                return D.df_sum(DF(jax.lax.all_gather(x.hi, axis_name),
+                                   jax.lax.all_gather(x.lo, axis_name)),
+                                axis=0)
+            rhs_re_df = df_allsum(rhs_re_df)
+            rhs_im_df = df_allsum(rhs_im_df)
         rhs = CArr(rhs_re_df.hi + rhs_re_df.lo, rhs_im_df.hi + rhs_im_df.lo)
 
         # masked slots: identity rows

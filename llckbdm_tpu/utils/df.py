@@ -265,6 +265,31 @@ def dfc_zeros(shape) -> DFC:
     return DFC(DF(z, z), DF(z, z))
 
 
+def dfc_pow_traced(z: DFC, e, nbits: int = 16) -> DFC:
+    """z^e for a TRACED non-negative int exponent e (broadcastable to z).
+
+    Binary exponentiation with a fixed nbits unroll (default 16 covers
+    exponents to 65535 — far beyond any signal length in the configs).
+    Used by the time-sharded refinement to seed each shard's local
+    Vandermonde block at z^(chunk_offset) (parallel.grid).
+    """
+    e = jnp.asarray(e, jnp.int32)
+    shape = jnp.broadcast_shapes(z.shape, e.shape) if e.ndim else z.shape
+    one = jnp.ones(shape, jnp.float32)
+    zero = jnp.zeros(shape, jnp.float32)
+    out = DFC(DF(one, zero), DF(zero, zero))
+    base = DFC(DF(jnp.broadcast_to(z.re.hi, shape),
+                  jnp.broadcast_to(z.re.lo, shape)),
+               DF(jnp.broadcast_to(z.im.hi, shape),
+                  jnp.broadcast_to(z.im.lo, shape)))
+    for j in range(nbits):
+        bit = (e >> j) & 1
+        out = dfc_where(bit > 0, dfc_mul(out, base), out)
+        if j + 1 < nbits:
+            base = dfc_mul(base, base)
+    return out
+
+
 def dfc_powers(z: DFC, n: int) -> DFC:
     """All powers z^0 .. z^(n-1) along a new trailing axis, in df precision.
 
