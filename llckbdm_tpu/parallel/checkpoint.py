@@ -1,0 +1,151 @@
+"""Resumable pod-scale grid sweeps: voxel-range manifests + shard results.
+
+The reference has no checkpointing (runs finish in seconds; SURVEY.md §5).
+At pod scale (config 5: 256x256 voxel grids, BASELINE.json:11) a sweep is
+long enough that preemption matters, so grid fits are decomposed into
+deterministic voxel-range *shards*; each completed shard's consolidated
+line list is written atomically (tmp + rename) as an .npz, and a re-run
+skips shards whose result file already exists — resume-by-manifest, no
+coordinator state.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pathlib
+from typing import Sequence
+
+import numpy as np
+
+from ..ops.cplx import CArr
+from ..pipeline.llckbdm import LlcKbdmConfig
+from .grid import fit_grid
+
+
+def shard_manifest(n_voxels: int, shard_size: int,
+                   process_index: int = 0,
+                   num_processes: int = 1) -> list[tuple[int, int]]:
+    """Deterministic [start, stop) voxel ranges owned by this process.
+
+    Shards are dealt round-robin so every process touches the whole grid's
+    address space (even load when signal difficulty correlates with voxel
+    position).
+    """
+    if shard_size <= 0:
+        raise ValueError("shard_size must be positive")
+    starts = range(0, n_voxels, shard_size)
+    return [(s, min(s + shard_size, n_voxels))
+            for i, s in enumerate(starts)
+            if i % num_processes == process_index]
+
+
+def _shard_path(out_dir: pathlib.Path, start: int, stop: int) -> pathlib.Path:
+    return out_dir / f"shard_{start:08d}_{stop:08d}.npz"
+
+
+@dataclasses.dataclass
+class GridRunner:
+    """Checkpointed LL-KBDM sweep over a flat voxel batch.
+
+    out_dir   : shard results + manifest.json live here
+    dwell     : sample dwell time (s)
+    cfg       : pipeline config (must be identical across resume runs; a
+                fingerprint is stored in manifest.json and checked)
+    shard_size: voxels per shard (one jit launch each)
+    """
+
+    out_dir: str | os.PathLike
+    dwell: float
+    cfg: LlcKbdmConfig
+    shard_size: int = 256
+    process_index: int = 0
+    num_processes: int = 1
+
+    def __post_init__(self):
+        self.out_dir = pathlib.Path(self.out_dir)
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self._check_manifest()
+
+    def _fingerprint(self) -> dict:
+        return {
+            "dwell": float(self.dwell),
+            "m_values": list(map(int, self.cfg.m_values)),
+            "eps": float(self.cfg.eps),
+            "min_samples": int(self.cfg.min_samples),
+            "max_clusters": int(self.cfg.max_clusters),
+            "p": int(self.cfg.kbdm.p),
+            "shard_size": int(self.shard_size),
+        }
+
+    def _check_manifest(self) -> None:
+        path = self.out_dir / "manifest.json"
+        fp = self._fingerprint()
+        if path.exists():
+            old = json.loads(path.read_text())
+            if old != fp:
+                raise ValueError(
+                    f"resume config mismatch in {path}:\n old={old}\n new={fp}")
+        elif self.process_index == 0:
+            tmp = path.with_suffix(".tmp")
+            tmp.write_text(json.dumps(fp, indent=1))
+            tmp.replace(path)
+
+    def pending(self, n_voxels: int) -> list[tuple[int, int]]:
+        """Manifest shards owned by this process that have no result yet."""
+        return [(s, e)
+                for s, e in shard_manifest(n_voxels, self.shard_size,
+                                           self.process_index,
+                                           self.num_processes)
+                if not _shard_path(self.out_dir, s, e).exists()]
+
+    def run(self, signals: np.ndarray) -> int:
+        """Fit every pending shard of `signals` ((V, N) complex); return the
+        number of shards computed this call (0 = everything was resumed)."""
+        import jax.numpy as jnp
+
+        signals = np.asarray(signals)
+        done = 0
+        for s, e in self.pending(signals.shape[0]):
+            seg = signals[s:e]
+            # pad the tail shard so every launch shares one compiled shape
+            pad = self.shard_size - seg.shape[0]
+            if pad:
+                seg = np.concatenate([seg, np.zeros((pad, seg.shape[1]),
+                                                    seg.dtype)])
+            c = CArr(jnp.asarray(seg.real, jnp.float32),
+                     jnp.asarray(seg.imag, jnp.float32))
+            cons, _pooled, counts = fit_grid(c, self.dwell, self.cfg)
+            out = {
+                "amplitude": np.asarray(cons.amplitude)[:e - s],
+                "t2": np.asarray(cons.t2)[:e - s],
+                "frequency": np.asarray(cons.frequency)[:e - s],
+                "phase": np.asarray(cons.phase)[:e - s],
+                "mask": np.asarray(cons.mask)[:e - s],
+                "counts": np.asarray(counts)[:e - s],
+            }
+            path = _shard_path(self.out_dir, s, e)
+            tmp = path.with_suffix(".tmp.npz")
+            np.savez(tmp, **out)
+            tmp.replace(path)
+            done += 1
+        return done
+
+    def gather(self, n_voxels: int) -> dict[str, np.ndarray]:
+        """Assemble the full-grid result from ALL processes' shard files.
+
+        Raises FileNotFoundError listing missing shards if incomplete.
+        """
+        shards = shard_manifest(n_voxels, self.shard_size, 0, 1)
+        missing = [f"[{s},{e})" for s, e in shards
+                   if not _shard_path(self.out_dir, s, e).exists()]
+        if missing:
+            raise FileNotFoundError(
+                f"grid incomplete: missing shards {', '.join(missing)}")
+        keys = ("amplitude", "t2", "frequency", "phase", "mask", "counts")
+        parts = {k: [] for k in keys}
+        for s, e in shards:
+            with np.load(_shard_path(self.out_dir, s, e)) as z:
+                for k in keys:
+                    parts[k].append(z[k])
+        return {k: np.concatenate(v, axis=0) for k, v in parts.items()}

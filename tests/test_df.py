@@ -65,4 +65,7 @@ def test_dfc_powers_geometric_accuracy():
     z = np.array([0.999 * np.exp(0.37j)])
     got = D.dfc_to_np(D.dfc_powers(D.dfc_from_np(z), 512))
     expect = z[0] ** np.arange(512)
-    np.testing.assert_allclose(got[0], expect, rtol=5e-13)
+    # Rounding in z^n amplifies like n*eps regardless of powering scheme
+    # (condition number of powering is n); with eps_df ~ 3.6e-15 the bound
+    # for n=511 is ~1.8e-12.  Gate at that bound, not below it.
+    np.testing.assert_allclose(got[0], expect, rtol=2e-12)
