@@ -15,21 +15,31 @@ Public API (L3 layer, SURVEY.md §1):
         sample_signal, LineList, line_list_from_np, line_list_to_np,
         kbdm_fit, kbdm_sweep, KbdmConfig,
         llc_kbdm_fit, LlcKbdmConfig,
+        refine_lines, refined_to_np, RefineConfig,
     )
 
-CPU float64 oracle (ground truth for every kernel): ``llckbdm_tpu.oracle``.
+Distributed layer (mesh, sharded grids, resumable sweeps):
+``llckbdm_tpu.parallel``.  CPU float64 oracle (ground truth for every
+kernel): ``llckbdm_tpu.oracle``.
 """
 
 from .signals import (LineList, line_list_from_np, line_list_to_np,
                       sample_signal)
 from .ops.cplx import CArr, from_np, to_np
 from .solver.kbdm import KbdmConfig, kbdm_fit, kbdm_sweep
+from .solver.refine import (RefineConfig, RefinedLines, refine_lines,
+                            refined_to_np)
+from .pipeline.llckbdm import LlcKbdmConfig, llc_kbdm_fit
+from . import parallel
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "CArr", "from_np", "to_np",
     "LineList", "line_list_from_np", "line_list_to_np", "sample_signal",
     "KbdmConfig", "kbdm_fit", "kbdm_sweep",
+    "LlcKbdmConfig", "llc_kbdm_fit",
+    "RefineConfig", "RefinedLines", "refine_lines", "refined_to_np",
+    "parallel",
     "__version__",
 ]

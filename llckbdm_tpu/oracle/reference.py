@@ -204,6 +204,27 @@ def llc_kbdm(
     return consolidated, pooled, labels
 
 
+def line_errors(est: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    """Mixed accuracy metric between matched line lists (rows of A, T2, f, phase).
+
+    A, T2, f are ratio-scale quantities -> RELATIVE error.  Phase is an
+    ANGLE: a pure relative metric blows up when the reference phase is ~0
+    (e.g. a line synthesized with phase exactly 0.0 recovered as 1e-12 gives
+    relative error 1 against denominator 1e-12), so phase error is the
+    wrapped absolute difference mod 2*pi — phases are O(1) radians, making
+    wrapped-absolute the same scale as relative for nonzero phases.
+
+    Returns an (k, 4) array of per-entry errors; ``line_errors(...).max()``
+    is the quantity the 1e-8 oracle gate (BASELINE.json:5) is asserted on.
+    """
+    est = np.asarray(est, np.float64)
+    ref = np.asarray(ref, np.float64)
+    rel = np.abs(est[:, :3] - ref[:, :3]) / np.abs(ref[:, :3])
+    dphi = np.abs(est[:, 3] - ref[:, 3]) % (2.0 * np.pi)
+    dphi = np.minimum(dphi, 2.0 * np.pi - dphi)
+    return np.concatenate([rel, dphi[:, None]], axis=1)
+
+
 def match_lines(est: np.ndarray, truth: np.ndarray) -> np.ndarray:
     """Greedy nearest-frequency matching of estimated lines to ground truth.
 

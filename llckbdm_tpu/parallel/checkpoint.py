@@ -68,28 +68,82 @@ class GridRunner:
         self._check_manifest()
 
     def _fingerprint(self) -> dict:
+        # The FULL config (recursing into cfg.kbdm via dataclasses.asdict):
+        # resuming after changing ANY solver knob would silently mix shards
+        # computed under different configs.
+        cfg = dataclasses.asdict(self.cfg)
+        cfg["m_values"] = list(map(int, cfg["m_values"]))
         return {
             "dwell": float(self.dwell),
-            "m_values": list(map(int, self.cfg.m_values)),
-            "eps": float(self.cfg.eps),
-            "min_samples": int(self.cfg.min_samples),
-            "max_clusters": int(self.cfg.max_clusters),
-            "p": int(self.cfg.kbdm.p),
+            "cfg": cfg,
             "shard_size": int(self.shard_size),
         }
 
     def _check_manifest(self) -> None:
+        """Create-or-validate manifest.json, atomically and from EVERY process.
+
+        Each process attempts an exclusive create (O_CREAT|O_EXCL); exactly
+        one wins, the rest re-read and compare — closing the race where a
+        process with process_index != 0 started before the manifest existed
+        and proceeded unvalidated.
+        """
         path = self.out_dir / "manifest.json"
         fp = self._fingerprint()
-        if path.exists():
-            old = json.loads(path.read_text())
-            if old != fp:
-                raise ValueError(
-                    f"resume config mismatch in {path}:\n old={old}\n new={fp}")
-        elif self.process_index == 0:
-            tmp = path.with_suffix(".tmp")
-            tmp.write_text(json.dumps(fp, indent=1))
-            tmp.replace(path)
+        # write a private tmp, then publish via hard link: link() fails with
+        # FileExistsError if someone else won, and readers can never observe
+        # a partially-written manifest.
+        tmp = path.with_suffix(f".tmp.{os.getpid()}.{self.process_index}")
+        tmp.write_text(json.dumps(fp, indent=1))
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            pass
+        finally:
+            tmp.unlink()
+        old = json.loads(path.read_text())
+        if old != fp:
+            raise ValueError(
+                f"resume config mismatch in {path}:\n old={old}\n new={fp}")
+
+    @staticmethod
+    def _data_fingerprint(signals: np.ndarray) -> dict:
+        """Cheap content digest tying shard files to the input grid.
+
+        Full blake2b for small grids; for pod-scale inputs (config 5 can be
+        GBs) a deterministic sample: head + tail + strided slice.
+        """
+        import hashlib
+
+        b = np.ascontiguousarray(signals)
+        view = b.view(np.uint8).reshape(-1)
+        h = hashlib.blake2b(digest_size=16)
+        h.update(str((b.shape, b.dtype.str)).encode())
+        if view.nbytes <= (1 << 26):
+            h.update(view.tobytes())
+        else:
+            h.update(view[: 1 << 20].tobytes())
+            h.update(view[-(1 << 20):].tobytes())
+            h.update(np.ascontiguousarray(
+                view[:: max(1, view.nbytes // (1 << 20))]).tobytes())
+        return {"n_voxels": int(signals.shape[0]), "digest": h.hexdigest()}
+
+    def _check_data(self, signals: np.ndarray) -> None:
+        """Create-or-validate data.json (same atomic protocol as the manifest)."""
+        path = self.out_dir / "data.json"
+        fp = self._data_fingerprint(signals)
+        tmp = path.with_suffix(f".tmp.{os.getpid()}.{self.process_index}")
+        tmp.write_text(json.dumps(fp, indent=1))
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            pass
+        finally:
+            tmp.unlink()
+        old = json.loads(path.read_text())
+        if old != fp:
+            raise ValueError(
+                f"input data mismatch in {path} (resuming in this out_dir "
+                f"with different signals):\n old={old}\n new={fp}")
 
     def pending(self, n_voxels: int) -> list[tuple[int, int]]:
         """Manifest shards owned by this process that have no result yet."""
@@ -105,6 +159,7 @@ class GridRunner:
         import jax.numpy as jnp
 
         signals = np.asarray(signals)
+        self._check_data(signals)
         done = 0
         for s, e in self.pending(signals.shape[0]):
             seg = signals[s:e]
@@ -136,6 +191,14 @@ class GridRunner:
 
         Raises FileNotFoundError listing missing shards if incomplete.
         """
+        data_path = self.out_dir / "data.json"
+        if data_path.exists():
+            rec = json.loads(data_path.read_text())
+            if rec["n_voxels"] != n_voxels:
+                raise ValueError(
+                    f"gather(n_voxels={n_voxels}) does not match the grid "
+                    f"these shards were computed from (n_voxels="
+                    f"{rec['n_voxels']}, {data_path})")
         shards = shard_manifest(n_voxels, self.shard_size, 0, 1)
         missing = [f"[{s},{e})" for s, e in shards
                    if not _shard_path(self.out_dir, s, e).exists()]

@@ -13,12 +13,14 @@ Three entry points, increasing in scale:
                                 signal TIME axis additionally split over the
                                 'time' mesh axis inside shard_map: the normal
                                 matrix / amplitude-RHS partial sums are
-                                exchanged via psum/all_gather collectives
-                                (BASELINE.json:5 "amplitude right-hand-side
-                                halos exchanged via collectives overlapped
-                                with the eigensolve" — XLA's latency-hiding
-                                scheduler overlaps the psum with the
-                                independent per-voxel solves).
+                                exchanged via one fused psum (the rhs keeps
+                                its double-float (hi, lo) split through the
+                                reduction) (BASELINE.json:5 "amplitude
+                                right-hand-side halos exchanged via
+                                collectives overlapped with the eigensolve"
+                                — XLA's latency-hiding scheduler overlaps
+                                the psum with the independent per-voxel
+                                solves).
 """
 from __future__ import annotations
 

@@ -15,6 +15,22 @@ needs f32 accuracy; the residual evaluation is what must not cancel).  With
 2-4 iterations the genuine poles converge quadratically to the double-float
 noise floor (~1e-13), matching the scipy float64 oracle far below 1e-8.
 
+Precision structure of one Gauss-Newton step (what must be df, what not):
+
+* residual  r = c - model   — df, genuinely cancelling O(1) quantities;
+* powers    z^n             — df, relative error compounds over n;
+* normal matrix G = J^H J   — f32 einsums (MXU): only steers the step;
+* rhs J^H r                 — TWO f32 einsums, J^H r_hi + J^H r_lo: once r
+  is exact in df, the dot has no catastrophic cancellation — its f32
+  rounding (~n*eps relative to the term magnitudes) perturbs the GN fixed
+  point by O(eps * |r|), far below the df noise floor.
+
+The einsum formulation is also what makes the step compile and run sanely:
+einsum/dot is a hard XLA fusion boundary, whereas feeding the deep df
+elementwise chains straight into sliced/fused reductions was measured to
+make XLA:CPU re-evaluate the producer chain per output element (a 64-point
+toy step ran 75 s; the same math as einsums runs in milliseconds).
+
 For a noiseless signal whose line count equals the number of refined lines,
 the GN fixed point IS the exact interpolating solution — identical (to f64
 rounding) to what the oracle's KBDM chain produces, which is how the 1e-8
@@ -79,9 +95,12 @@ def refine_lines(c: DFC, lines: LineList, dwell: float,
     BASELINE.json:5): when called inside shard_map with the signal's time
     axis split over mesh axis ``axis_name``, pass the local chunk's global
     start index as ``t_offset`` (e.g. ``chunk * lax.axis_index(axis_name)``).
-    The normal matrix is then psum-reduced in f32 and the right-hand side
-    all-gathered and re-summed in double-float (cross-shard cancellation
-    must not lose bits), overlapping with the per-iteration solve.
+    The normal-matrix and right-hand-side partial sums are then psum-reduced
+    across the time shards; the rhs keeps its (hi, lo) double-float split
+    through the reduction (each component psummed in f32 — the per-shard
+    partials carry no catastrophic cancellation once the residual itself is
+    double-float, so f32 partial-sum rounding is at the same level as the
+    within-shard einsum rounding).
     """
     n = c.re.hi.shape[-1]
     dt = np.float32(dwell)
@@ -119,8 +138,8 @@ def refine_lines(c: DFC, lines: LineList, dwell: float,
         model = D.dfc_sum(dkp, axis=-2)                      # (..., N)
         r = D.dfc_sub(c, model)                              # df residual
 
-        # f32 views for the Jacobian/normal matrix
-        p32_re, p32_im = p.re.hi, p.im.hi                    # (..., C, N)
+        # f32 views for the Jacobian blocks J = [P; D], each (..., C, N)
+        p32_re, p32_im = p.re.hi, p.im.hi
         d32_re, d32_im = d.re.hi, d.im.hi
         # D[k, n] = d_k * n * z_k^(n-1) = (d_k / z_k) * n * P[k, n]
         zabs2 = z.re.hi**2 + z.im.hi**2
@@ -132,43 +151,65 @@ def refine_lines(c: DFC, lines: LineList, dwell: float,
         dj_re = doz_re[..., None] * w_re - doz_im[..., None] * w_im
         dj_im = doz_re[..., None] * w_im + doz_im[..., None] * w_re
 
-        # stack J = [V, D] -> (..., 2C, N)
-        j_re = jnp.concatenate([p32_re, dj_re], axis=-2)
-        j_im = jnp.concatenate([p32_im, dj_im], axis=-2)
-
-        # normal matrix G = J^H J (f32, MXU)
+        # Normal matrix G = J^H J blockwise (f32 einsums -> MXU).  No
+        # concatenate BEFORE the dots: a concat-rooted fusion re-evaluates
+        # the whole df producer chain per element on XLA:CPU (see module
+        # docstring); the (2C, 2C) assembly happens on materialized blocks.
         es = lambda *a: jnp.einsum(*a, precision=jax.lax.Precision.HIGHEST)
-        g_re = es('...kn,...ln->...kl', j_re, j_re) + \
-               es('...kn,...ln->...kl', j_im, j_im)
-        g_im = es('...kn,...ln->...kl', j_re, j_im) - \
-               es('...kn,...ln->...kl', j_im, j_re)
-        if axis_name is not None:
-            # f32 normal matrix: psum is accurate enough (it only steers
-            # the correction direction)
-            g_re = jax.lax.psum(g_re, axis_name)
-            g_im = jax.lax.psum(g_im, axis_name)
 
-        # rhs = J^H r: df dot products — J in f32, r kept in df so the
-        # near-cancelling accumulation stays exact.
-        def dfdot(j_r, j_i):
-            # (..., 2C, N) x (..., N) -> (..., 2C) complex df
-            rre = DF(jnp.broadcast_to(r.re.hi[..., None, :], j_r.shape),
-                     jnp.broadcast_to(r.re.lo[..., None, :], j_r.shape))
-            rim = DF(jnp.broadcast_to(r.im.hi[..., None, :], j_r.shape),
-                     jnp.broadcast_to(r.im.lo[..., None, :], j_r.shape))
-            re_t = D.df_add(D.df_scale(rre, j_r), D.df_scale(rim, j_i))
-            im_t = D.df_sub(D.df_scale(rim, j_r), D.df_scale(rre, j_i))
-            return D.df_sum(re_t, axis=-1), D.df_sum(im_t, axis=-1)
-        rhs_re_df, rhs_im_df = dfdot(j_re, j_im)
+        def block(a_re, a_im, b_re, b_im):
+            # Sum_n conj(a[k, n]) b[l, n] -> (..., k, l)
+            re = es('...kn,...ln->...kl', a_re, b_re) + \
+                 es('...kn,...ln->...kl', a_im, b_im)
+            im = es('...kn,...ln->...kl', a_re, b_im) - \
+                 es('...kn,...ln->...kl', a_im, b_re)
+            return re, im
+
+        gvv_re, gvv_im = block(p32_re, p32_im, p32_re, p32_im)
+        gvd_re, gvd_im = block(p32_re, p32_im, dj_re, dj_im)
+        gdd_re, gdd_im = block(dj_re, dj_im, dj_re, dj_im)
+        # G is Hermitian: the (d, v) block is the conjugate transpose
+        gdv_re = jnp.swapaxes(gvd_re, -1, -2)
+        gdv_im = -jnp.swapaxes(gvd_im, -1, -2)
+        g_re = jnp.concatenate(
+            [jnp.concatenate([gvv_re, gvd_re], axis=-1),
+             jnp.concatenate([gdv_re, gdd_re], axis=-1)], axis=-2)
+        g_im = jnp.concatenate(
+            [jnp.concatenate([gvv_im, gvd_im], axis=-1),
+             jnp.concatenate([gdv_im, gdd_im], axis=-1)], axis=-2)
+
+        # rhs = J^H r as TWO f32 einsums per block: J^H r_hi + J^H r_lo.
+        # r is exact in df, so the dot itself has no catastrophic
+        # cancellation; keeping the (hi, lo) split through the (optional)
+        # psum preserves the double-float information across shards.
+        def rdot(j_r, j_i):
+            def one(rr, ri):
+                out_re = es('...kn,...n->...k', j_r, rr) + \
+                         es('...kn,...n->...k', j_i, ri)
+                out_im = es('...kn,...n->...k', j_r, ri) - \
+                         es('...kn,...n->...k', j_i, rr)
+                return out_re, out_im
+            hi_re, hi_im = one(r.re.hi, r.im.hi)
+            lo_re, lo_im = one(r.re.lo, r.im.lo)
+            return DF(hi_re, lo_re), DF(hi_im, lo_im)
+        rhsv_re, rhsv_im = rdot(p32_re, p32_im)
+        rhsd_re, rhsd_im = rdot(dj_re, dj_im)
+        rhs_re_df = DF(jnp.concatenate([rhsv_re.hi, rhsd_re.hi], axis=-1),
+                       jnp.concatenate([rhsv_re.lo, rhsd_re.lo], axis=-1))
+        rhs_im_df = DF(jnp.concatenate([rhsv_im.hi, rhsd_im.hi], axis=-1),
+                       jnp.concatenate([rhsv_im.lo, rhsd_im.lo], axis=-1))
+
         if axis_name is not None:
-            # cross-shard reduction of J^H r must stay in df: all-gather the
-            # per-shard partials (tiny: 2C values) and tree-sum in df.
-            def df_allsum(x: DF) -> DF:
-                return D.df_sum(DF(jax.lax.all_gather(x.hi, axis_name),
-                                   jax.lax.all_gather(x.lo, axis_name)),
-                                axis=0)
-            rhs_re_df = df_allsum(rhs_re_df)
-            rhs_im_df = df_allsum(rhs_im_df)
+            # Cross-shard exchange of the normal-equation partial sums
+            # (BASELINE.json:5): one fused psum over G and the rhs (hi, lo)
+            # components; XLA's latency-hiding scheduler overlaps it with
+            # the independent per-voxel work that follows.
+            (g_re, g_im, rhs_hi_re, rhs_lo_re, rhs_hi_im, rhs_lo_im) = \
+                jax.lax.psum((g_re, g_im,
+                              rhs_re_df.hi, rhs_re_df.lo,
+                              rhs_im_df.hi, rhs_im_df.lo), axis_name)
+            rhs_re_df = DF(rhs_hi_re, rhs_lo_re)
+            rhs_im_df = DF(rhs_hi_im, rhs_lo_im)
         rhs = CArr(rhs_re_df.hi + rhs_re_df.lo, rhs_im_df.hi + rhs_im_df.lo)
 
         # masked slots: identity rows
@@ -180,10 +221,11 @@ def refine_lines(c: DFC, lines: LineList, dwell: float,
         rhs = CArr(jnp.where(mask2, rhs.re, 0.0),
                    jnp.where(mask2, rhs.im, 0.0))
 
+        # relative Tikhonov: cfg.ridge scaled by the mean diagonal magnitude
         tr = jnp.sum(jnp.abs(jnp.diagonal(g.re, axis1=-2, axis2=-1)),
                      axis=-1, keepdims=True)
-        ridge = cfg.ridge * tr / mask2.shape[-1]
-        delta = hermitian_solve(g, rhs, ridge=0.0, rcond=1e-7,
+        ridge = np.float32(cfg.ridge) * tr / mask2.shape[-1]
+        delta = hermitian_solve(g, rhs, ridge=ridge, rcond=1e-7,
                                 sweeps=cfg.eigh_sweeps)
 
         cc = mask.shape[-1]

@@ -10,8 +10,16 @@ poles at ~1e-4 and refinement polishes them to ~1e-12 against the
 double-float signal.
 
 IMPORTANT: these algorithms require IEEE-correct f32 add/mul WITHOUT
-reassociation.  XLA is IEEE-strict by default and the VPU is IEEE f32; do not
-wrap these in any fast-math context.  MXU matmuls are NOT used here.
+reassociation or FMA contraction.  XLA HLO is IEEE-strict, but the XLA:CPU
+LLVM backend CONTRACTS mul+add into fma on FMA-capable ISAs (AVX2+), and
+fusion rematerializes shared subexpressions into multiple kernels where the
+contraction choice can differ per copy — measured to silently destroy the
+error-free transforms (a double-float product lost its entire lo limb:
+2.5e-8 relative instead of 3e-15).  Every EFT below therefore pins its
+rounding-critical head value (the sum `s`, the product `p`) with
+``lax.reduce_precision(x, 8, 23)`` — an f32 identity that is a compiler
+barrier against contraction on every backend (verified: restores 4e-15 on
+AVX2 CPU; free on TPU where the VPU is IEEE f32 without contraction).
 
 All functions are elementwise and batch/shape polymorphic.
 """
@@ -22,6 +30,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _rp(x):
+    """f32 identity that blocks FMA contraction / inconsistent remat (see
+    module docstring)."""
+    return jax.lax.reduce_precision(x, 8, 23)
 
 
 class DF(NamedTuple):
@@ -61,7 +75,7 @@ _SPLITTER = np.float32(4097.0)  # 2**12 + 1 for f32 (24-bit mantissa)
 
 def two_sum(a, b):
     """s + e == a + b exactly."""
-    s = a + b
+    s = _rp(a + b)
     bb = s - a
     e = (a - (s - bb)) + (b - bb)
     return s, e
@@ -69,7 +83,7 @@ def two_sum(a, b):
 
 def quick_two_sum(a, b):
     """Requires |a| >= |b|. s + e == a + b exactly."""
-    s = a + b
+    s = _rp(a + b)
     e = b - (s - a)
     return s, e
 
@@ -83,7 +97,7 @@ def _split(a):
 
 def two_prod(a, b):
     """p + e == a * b exactly (Dekker)."""
-    p = a * b
+    p = _rp(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl

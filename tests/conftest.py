@@ -12,6 +12,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config call is
+# the only reliable way to force the CPU backend.  Without it the whole
+# suite silently dispatches to the remote TPU through the tunnel (measured:
+# ~20 min suite instead of ~2).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

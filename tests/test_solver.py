@@ -73,8 +73,8 @@ def test_refined_hits_1e8_oracle_gate(five_peak_signal, five_peak_params):
     est = refined_to_np(ref, dwell)
     sel = oracle.match_lines(est, five_peak_params)
     est = est[sel]
-    rel = np.abs(est - olines) / np.maximum(np.abs(olines), 1e-12)
-    assert rel.max() < 1e-8, f"max rel err {rel.max():.3e}"
+    err = oracle.line_errors(est, olines)
+    assert err.max() < 1e-8, f"max err {err.max():.3e}\n{err}"
 
 
 def test_refine_is_fixed_point_at_truth(five_peak_signal, five_peak_params):
@@ -86,5 +86,5 @@ def test_refine_is_fixed_point_at_truth(five_peak_signal, five_peak_params):
     ref = refine_lines(D.dfc_from_np(sig), init, dwell, RefineConfig(iters=2))
     est = refined_to_np(ref, dwell)
     sel = oracle.match_lines(est, five_peak_params)
-    rel = np.abs(est[sel] - five_peak_params) / np.abs(five_peak_params)
-    assert rel.max() < 1e-10
+    err = oracle.line_errors(est[sel], five_peak_params)
+    assert err.max() < 1e-10, f"max err {err.max():.3e}\n{err}"
