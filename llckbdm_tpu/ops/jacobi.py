@@ -21,6 +21,11 @@ round instead of O(n^3) matmuls.  Rotations within a round commute (disjoint
 index pairs), so the batch (voxels x m-sweep) vmaps cleanly.
 
 Oracle counterparts: numpy.linalg.eigh / scipy.linalg.eig.
+
+On the TPU backend both entry points dispatch to the Pallas kernels in
+ops.pallas_jacobi (one kernel per solve, batch in the lane axis) — the
+scan formulation below is the CPU/virtual-mesh fallback and the
+cross-check for the kernels.
 """
 from __future__ import annotations
 
@@ -31,6 +36,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from .cplx import CArr
+
+
+@functools.lru_cache(maxsize=1)
+def _tpu_backend() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 @functools.lru_cache(maxsize=None)
@@ -142,6 +155,12 @@ def eigh(a: CArr, sweeps: int = 10):
     Returns (w, v): eigenvalues (..., n) sorted descending and unitary
     eigenvectors (..., n, n) with a ~= v diag(w) v^H.
     """
+    # NOTE: no Pallas dispatch here — pallas_jacobi.eigh exists but its
+    # per-pair column write-back (Hermitian consistency of the stored
+    # matrix) relays out through sublanes and measured SLOWER than this
+    # scan on v5e.  The TPU hot path avoids Hermitian eigh entirely via
+    # ops.pallas_linalg (one-sided Jacobi SVD + Cholesky), so this scan
+    # only runs on CPU.
     fn = functools.partial(_eigh_single, sweeps=sweeps)
     ndim = a.re.ndim
     for _ in range(ndim - 2):
@@ -257,6 +276,9 @@ def eig_cs(a: CArr, sweeps: int = 10) -> CArr:
     Returns CArr (..., n) of eigenvalues (unordered).  The input MUST be
     (numerically) complex symmetric; callers symmetrize first.
     """
+    if _tpu_backend():
+        from . import pallas_jacobi
+        return pallas_jacobi.eig_cs(a, sweeps=sweeps)
     fn = functools.partial(_eig_cs_single, sweeps=sweeps)
     ndim = a.re.ndim
     for _ in range(ndim - 2):

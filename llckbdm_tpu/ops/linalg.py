@@ -12,6 +12,12 @@ matmuls (MXU) plus the Jacobi Hermitian eigendecomposition (ops.jacobi.eigh):
                            eigh; replaces Cholesky.
 
 All batched over leading dims.
+
+On the TPU backend the eigh-based paths dispatch to the rows-only Pallas
+kernels in ops.pallas_linalg (one-sided Jacobi SVD for Takagi's Gram
+eigendecomposition, shifted CholeskyQR2 for orthonormalization, Cholesky
+with Tikhonov shift for the Hermitian solve) — the eigh formulations below
+remain the CPU path and the numerical cross-check.
 """
 from __future__ import annotations
 
@@ -19,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from . import jacobi
+from .jacobi import _tpu_backend
 from .cplx import (CArr, cabs, cangle, cmatmul, chermitian, cmul, conj,
 
                    cscale_cols, csub, cexp)
@@ -48,6 +55,35 @@ def lowner_orth(y: CArr, rcond: float = 1e-10, sweeps: int = 8):
     return q, lam
 
 
+def _mean_diag(g: CArr) -> jax.Array:
+    return jnp.mean(jnp.abs(jnp.diagonal(g.re, axis1=-2, axis2=-1)), axis=-1)
+
+
+def orth_basis(y: CArr, sweeps: int = 8, shift_rel: float = 3e-6,
+               passes: int = 2) -> CArr:
+    """Orthonormal basis of range(y) for subspace iteration (..., m, k).
+
+    TPU: shifted CholeskyQR2 — G = q^H q, R^{-1} from the Pallas Cholesky
+    kernel, q <- q R^{-1}, twice.  The span is exact (R invertible by the
+    shift); orthonormality is imperfect only for directions below the shift
+    level, which the downstream Takagi Rayleigh-Ritz re-truncates anyway.
+    CPU: the Lowner (eigh) orthogonalization.
+    """
+    if not _tpu_backend():
+        q, _ = lowner_orth(y, sweeps=sweeps)
+        return q
+    from . import pallas_linalg
+    q = y
+    for _ in range(passes):
+        g = cmatmul(chermitian(q), q)
+        g = CArr(0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
+                 0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)))
+        shift = shift_rel * _mean_diag(g)
+        rinv = pallas_linalg.cholqr_rinv(g, shift)
+        q = cmatmul(q, rinv)
+    return q
+
+
 def takagi_small(m: CArr, sweeps: int = 8):
     """Takagi factorization of a complex-symmetric (..., k, k) matrix.
 
@@ -59,12 +95,19 @@ def takagi_small(m: CArr, sweeps: int = 8):
     |t| = s; rotating u by exp(i*angle(t)/2) makes t real positive, which is
     exactly the Takagi condition.  (Degenerate pairs are generically split by
     the KBDM spectra; exact ties would need an extra 2x2 rotation.)
+
+    On TPU the (s, u) pair comes from the one-sided Jacobi SVD kernel
+    (pallas_linalg.gram_svd), which never forms m m^H at all.
     """
-    mh = cmatmul(m, chermitian(m))
-    mh = CArr(0.5 * (mh.re + jnp.swapaxes(mh.re, -1, -2)),
-              0.5 * (mh.im - jnp.swapaxes(mh.im, -1, -2)))
-    lam, u = jacobi.eigh(mh, sweeps=sweeps)
-    s = jnp.sqrt(jnp.maximum(lam, 0.0))
+    if _tpu_backend():
+        from . import pallas_linalg
+        s, u = pallas_linalg.gram_svd(m, sweeps=sweeps)
+    else:
+        mh = cmatmul(m, chermitian(m))
+        mh = CArr(0.5 * (mh.re + jnp.swapaxes(mh.re, -1, -2)),
+                  0.5 * (mh.im - jnp.swapaxes(mh.im, -1, -2)))
+        lam, u = jacobi.eigh(mh, sweeps=sweeps)
+        s = jnp.sqrt(jnp.maximum(lam, 0.0))
     # t_k = u_k^H m conj(u_k)
     mu = cmatmul(m, conj(u))                     # (..., k, k)
     t = jnp.sum(cmul(conj(u), mu).re, axis=-2), \
@@ -76,15 +119,28 @@ def takagi_small(m: CArr, sweeps: int = 8):
     return w, s
 
 
-def hermitian_solve(h: CArr, b: CArr, ridge: float = 0.0,
+def hermitian_solve(h: CArr, b: CArr, ridge=0.0,
                     rcond: float = 1e-12, sweeps: int = 8) -> CArr:
     """Solve (h + ridge*I) x = b for Hermitian PSD h (..., k, k), b (..., k).
 
-    Uses eigh: x = w diag(1/(lam + ridge)) w^H b, with eigenvalues below
-    lam_max * rcond truncated (pseudo-inverse behavior).
+    ridge may be a float or an array broadcastable to the batch shape
+    (possibly with a trailing singleton axis, e.g. (..., 1)).
+
+    CPU: eigh-based x = w diag(1/(lam + ridge)) w^H b with eigenvalues
+    below lam_max * rcond truncated (pseudo-inverse).
+    TPU: Cholesky with Tikhonov shift ridge + rcond * mean|diag| — same
+    regularization role (bounded solve for near-singular h, e.g. duplicate
+    poles); for well-separated spectra the two agree to f32 rounding.
     """
     hsym = CArr(0.5 * (h.re + jnp.swapaxes(h.re, -1, -2)),
                 0.5 * (h.im - jnp.swapaxes(h.im, -1, -2)))
+    if _tpu_backend():
+        from . import pallas_linalg
+        r = jnp.asarray(ridge, h.re.dtype)
+        if r.ndim == b.re.ndim:           # (..., 1)-shaped relative ridge
+            r = r[..., 0]
+        shift = r + rcond * _mean_diag(hsym)
+        return pallas_linalg.chol_solve(hsym, b, shift)
     lam, w = jacobi.eigh(hsym, sweeps=sweeps)
     lam_max = jnp.maximum(lam[..., :1], 1e-30)
     good = lam > lam_max * rcond

@@ -35,7 +35,7 @@ from ..ops.cplx import (CArr, cabs, cangle, cmatmul, cmatmul_cr, chermitian,
                         cmul, conj, cpow_int, cscale_cols, cscale_rows, cwhere)
 from ..ops import jacobi
 from ..ops.hankel import hankel_matrices
-from ..ops.linalg import lowner_orth, takagi_small, hermitian_solve
+from ..ops.linalg import orth_basis, takagi_small, hermitian_solve
 from ..signals import LineList
 
 
@@ -184,55 +184,51 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
     masks = np.zeros((len(m_values), m_max), np.float32)
     for s, m in enumerate(m_values):
         masks[s, :m] = 1.0
-    masks = jnp.asarray(masks)                # (S, m_max)
 
     omega = jax.random.normal(jax.random.PRNGKey(cfg.seed), (m_max, k),
                               dtype=c.re.dtype)
 
-    def one_sweep(mask):
-        # mask: (m_max,) — everything below closes over h0/h1 with batch dims
-        mk = mask[:, None]
-
-        def apply_h0(x):
-            xm = CArr(x.re * mk, x.im * mk)
-            y = cmatmul(h0, xm)
-            return CArr(y.re * mk, y.im * mk)
-
-        def apply_h1(x):
-            xm = CArr(x.re * mk, x.im * mk)
-            y = cmatmul(h1, xm)
-            return CArr(y.re * mk, y.im * mk)
-
-        y = apply_h0(CArr(omega, jnp.zeros_like(omega)))
-        for _ in range(cfg.subspace_iters):
-            q, _ = lowner_orth(y, sweeps=cfg.eigh_sweeps)
-            y = apply_h0(conj(q))
-        q, _ = lowner_orth(y, sweeps=cfg.eigh_sweeps)
-
-        # Rayleigh-Ritz Takagi on the k x k projected Hankel
-        m_small = cmatmul(chermitian(q), apply_h0(conj(q)))
-        m_small = CArr(0.5 * (m_small.re + jnp.swapaxes(m_small.re, -1, -2)),
-                       0.5 * (m_small.im + jnp.swapaxes(m_small.im, -1, -2)))
-        w, sig = takagi_small(m_small, sweeps=cfg.eigh_sweeps)
-        u = cmatmul(q, w)                      # (..., m_max, k)
-        u_p = u[..., :, :p]
-        sig_p = sig[..., :p]
-        keep = sig_p > sig[..., :1] * cfg.rank_tol
-        s_isq = jnp.where(keep, jax.lax.rsqrt(jnp.maximum(sig_p, 1e-30)), 0.0)
-
-        # reduced matrix  U~ = S^-1/2 U_p^H U1 conj(U_p) S^-1/2
-        t = apply_h1(conj(u_p))
-        ut = cmatmul(chermitian(u_p), t)
-        ut = cscale_rows(CArr(s_isq, jnp.zeros_like(s_isq)),
-                         cscale_cols(ut, CArr(s_isq, jnp.zeros_like(s_isq))))
-        ut = CArr(0.5 * (ut.re + jnp.swapaxes(ut.re, -1, -2)),
-                  0.5 * (ut.im + jnp.swapaxes(ut.im, -1, -2)))
-        mu = jacobi.eig_cs(ut, sweeps=cfg.eig_sweeps)
-        return mu, keep
-
-    mu_s, keep_s = jax.vmap(one_sweep)(masks)  # (S, ..., p)
-    # move sweep axis next-to-last: (S, ..., p) -> (..., S, p)
+    # The sweep axis S is a leading BROADCAST axis, not a vmap: a vmap here
+    # would trace the Pallas eigensolver/orth kernels once per sweep entry
+    # (S separate Mosaic compilations, measured ~8 min at S=35); with plain
+    # broadcasting every kernel is traced exactly once over the flattened
+    # (S * batch) lane axis.  Shapes below: (S, ..., m_max, k).
     batch_ndim = c.re.ndim - 1
+    mk = jnp.asarray(masks).reshape(
+        (len(m_values),) + (1,) * batch_ndim + (m_max, 1))
+
+    def apply_op(h, x):
+        xm = CArr(x.re * mk, x.im * mk)
+        y = cmatmul(h, xm)                    # (..., m, m) @ (S, ..., m, k)
+        return CArr(y.re * mk, y.im * mk)
+
+    y = apply_op(h0, CArr(omega, jnp.zeros_like(omega)))
+    for _ in range(cfg.subspace_iters):
+        q = orth_basis(y, sweeps=cfg.eigh_sweeps)
+        y = apply_op(h0, conj(q))
+    q = orth_basis(y, sweeps=cfg.eigh_sweeps)
+
+    # Rayleigh-Ritz Takagi on the k x k projected Hankel
+    m_small = cmatmul(chermitian(q), apply_op(h0, conj(q)))
+    m_small = CArr(0.5 * (m_small.re + jnp.swapaxes(m_small.re, -1, -2)),
+                   0.5 * (m_small.im + jnp.swapaxes(m_small.im, -1, -2)))
+    w, sig = takagi_small(m_small, sweeps=cfg.eigh_sweeps)
+    u = cmatmul(q, w)                          # (S, ..., m_max, k)
+    u_p = u[..., :, :p]
+    sig_p = sig[..., :p]
+    keep_s = sig_p > sig[..., :1] * cfg.rank_tol
+    s_isq = jnp.where(keep_s, jax.lax.rsqrt(jnp.maximum(sig_p, 1e-30)), 0.0)
+
+    # reduced matrix  U~ = S^-1/2 U_p^H U1 conj(U_p) S^-1/2
+    t = apply_op(h1, conj(u_p))
+    ut = cmatmul(chermitian(u_p), t)
+    ut = cscale_rows(CArr(s_isq, jnp.zeros_like(s_isq)),
+                     cscale_cols(ut, CArr(s_isq, jnp.zeros_like(s_isq))))
+    ut = CArr(0.5 * (ut.re + jnp.swapaxes(ut.re, -1, -2)),
+              0.5 * (ut.im + jnp.swapaxes(ut.im, -1, -2)))
+    mu_s = jacobi.eig_cs(ut, sweeps=cfg.eig_sweeps)
+
+    # move sweep axis next-to-last: (S, ..., p) -> (..., S, p)
     perm = tuple(range(1, batch_ndim + 1)) + (0, batch_ndim + 1)
     mu_s = CArr(jnp.transpose(mu_s.re, perm), jnp.transpose(mu_s.im, perm))
     keep_s = jnp.transpose(keep_s, perm)
