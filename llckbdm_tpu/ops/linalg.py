@@ -144,7 +144,10 @@ def hermitian_solve(h: CArr, b: CArr, ridge=0.0,
     lam, w = jacobi.eigh(hsym, sweeps=sweeps)
     lam_max = jnp.maximum(lam[..., :1], 1e-30)
     good = lam > lam_max * rcond
-    inv = jnp.where(good, 1.0 / (lam + ridge + 1e-30), 0.0)
+    # clamp lam at 0: for near-singular h the smallest eigenvalues are f32
+    # rounding noise and can be slightly negative — 1/(lam + tiny ridge)
+    # would blow up with the wrong sign
+    inv = jnp.where(good, 1.0 / (jnp.maximum(lam, 0.0) + ridge + 1e-30), 0.0)
     # x = w @ (inv * (w^H b))
     wb = _es('...ik,...i->...k', w.re, b.re) + \
          _es('...ik,...i->...k', w.im, b.im)

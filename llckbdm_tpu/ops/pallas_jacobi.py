@@ -238,7 +238,7 @@ def eigh(a: CArr, sweeps: int = 10, interpret: bool = False):
 # Complex-symmetric eigenvalues (the KBDM reduced problem)
 # ---------------------------------------------------------------------------
 
-def _eig_cs_kernel(ar_ref, ai_ref, mur_ref, mui_ref, sr, si, *,
+def _eig_cs_kernel(ar_ref, ai_ref, mur_ref, mui_ref, off_ref, sr, si, *,
                    n: int, sweeps: int):
     sr[:] = ar_ref[:]
     si[:] = ai_ref[:]
@@ -349,6 +349,11 @@ def _eig_cs_kernel(ar_ref, ai_ref, mur_ref, mui_ref, sr, si, *,
     for q in range(n):
         mur_ref[q, :] = sr[q, q, :]
         mui_ref[q, :] = si[q, q, :]
+        # convergence counter: per-row off-diagonal energy of the final
+        # matrix (SURVEY.md §5 metrics row) — ~free, reuses the final rows
+        row_r, row_i = sr[q, :, :], si[q, :, :]
+        off_ref[q, :] = (jnp.sum(row_r * row_r + row_i * row_i, axis=0)
+                         - (sr[q, q, :] ** 2 + si[q, q, :] ** 2))
 
 
 def eig_cs(a: CArr, sweeps: int = 10, interpret: bool = False) -> CArr:
@@ -357,6 +362,13 @@ def eig_cs(a: CArr, sweeps: int = 10, interpret: bool = False) -> CArr:
     a : CArr (..., n, n), a = a^T (NOT Hermitian).  Returns CArr (..., n) of
     eigenvalues (unordered) — same contract as ops.jacobi.eig_cs.
     """
+    mu, _ = eig_cs_resid(a, sweeps=sweeps, interpret=interpret)
+    return mu
+
+
+def eig_cs_resid(a: CArr, sweeps: int = 10, interpret: bool = False):
+    """eig_cs plus the final off-diagonal Frobenius norm per matrix
+    (..., ) — the Jacobi convergence counter surfaced by bench.py."""
     n = a.re.shape[-1]
     pad_n = n % 2
     ar, ai = a.re, a.im
@@ -374,17 +386,20 @@ def eig_cs(a: CArr, sweeps: int = 10, interpret: bool = False) -> CArr:
                         memory_space=pltpu.VMEM)
     mu_spec = pl.BlockSpec((ne, b_blk), lambda g: (0, g),
                            memory_space=pltpu.VMEM)
-    mur, mui = pl.pallas_call(
+    mur, mui, off = pl.pallas_call(
         functools.partial(_eig_cs_kernel, n=ne, sweeps=sweeps),
         grid=grid,
         out_shape=(jax.ShapeDtypeStruct((ne, lr.shape[-1]), lr.dtype),
+                   jax.ShapeDtypeStruct((ne, lr.shape[-1]), lr.dtype),
                    jax.ShapeDtypeStruct((ne, lr.shape[-1]), lr.dtype)),
         in_specs=[spec, spec],
-        out_specs=(mu_spec, mu_spec),
+        out_specs=(mu_spec, mu_spec, mu_spec),
         scratch_shapes=[pltpu.VMEM((ne, ne, b_blk), lr.dtype)] * 2,
         interpret=interpret,
     )(lr, li)
 
+    resid = jnp.sqrt(jnp.maximum(jnp.sum(off, axis=0), 0.0))
+    resid = jnp.moveaxis(resid, -1, 0)[:batch].reshape(*batch_shape)
     mur = jnp.moveaxis(mur, -1, 0)[:batch, :n].reshape(*batch_shape, n)
     mui = jnp.moveaxis(mui, -1, 0)[:batch, :n].reshape(*batch_shape, n)
-    return CArr(mur, mui)
+    return CArr(mur, mui), resid

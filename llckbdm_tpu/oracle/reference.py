@@ -204,6 +204,51 @@ def llc_kbdm(
     return consolidated, pooled, labels
 
 
+def refine(lines: np.ndarray, data: np.ndarray, dwell: float,
+           iters: int = 10, ridge: float = 1e-12,
+           max_step: float = 0.1) -> np.ndarray:
+    """Float64 Gauss-Newton polish of a line list against the data.
+
+    The oracle counterpart of solver.refine.refine_lines: joint GN on
+    (poles z_k, complex amplitudes d_k) of the separable model
+    c_n ~= sum_k d_k z_k^n, full normal-equation solve with a tiny relative
+    Tikhonov ridge (NO eigenvalue truncation — see solver/refine.py) and a
+    per-pole step clip.  For noisy data the device refinement and this
+    function converge to the SAME least-squares fixed point, which is what
+    the 1e-8 device-vs-oracle gate compares under noise (the plain kbdm()
+    linear-algebra estimate is not the LS estimator once noise is present).
+
+    lines : (k, 4) rows of (A, T2, f, phase);  data : (N,) complex.
+    Returns the refined (k, 4) list sorted by frequency.
+    """
+    lines = np.asarray(lines, np.float64)
+    n = len(data)
+    ns = np.arange(n)
+    z = np.exp((2j * np.pi * lines[:, 2] - 1.0 / lines[:, 1]) * dwell)
+    d = lines[:, 0] * np.exp(1j * lines[:, 3])
+    c = len(z)
+    for _ in range(iters):
+        p = np.power(z[None, :], ns[:, None])            # (N, k)
+        r = data - p @ d
+        dj = d[None, :] * ns[:, None] * np.power(
+            z[None, :], np.maximum(ns[:, None] - 1, 0))
+        j = np.concatenate([p, dj], axis=1)
+        g = j.conj().T @ j
+        rhs = j.conj().T @ r
+        shift = ridge * np.trace(g).real / g.shape[0]
+        delta = np.linalg.solve(g + shift * np.eye(g.shape[0]), rhs)
+        d = d + delta[:c]
+        step = delta[c:]
+        sn = np.abs(step)
+        z = z + np.where(sn > max_step,
+                         max_step * step / np.maximum(sn, 1e-300), step)
+    with np.errstate(divide="ignore"):
+        t2 = -dwell / np.log(np.abs(z))
+    out = np.stack([np.abs(d), t2,
+                    np.angle(z) / (2.0 * np.pi * dwell), np.angle(d)], axis=1)
+    return out[np.argsort(out[:, 2])]
+
+
 def line_errors(est: np.ndarray, ref: np.ndarray) -> np.ndarray:
     """Mixed accuracy metric between matched line lists (rows of A, T2, f, phase).
 

@@ -109,6 +109,7 @@ def refine_grid_timesharded(c: DFC, lines: LineList, dwell: float,
               DF(P("data", None), P("data", None))),
         mask=P("data", None),
         lines=out_line,
+        gn_step=P("data", None),
     )
     fn = shard_map(local, mesh=mesh, in_specs=(spec_c, spec_lines),
                    out_specs=out_spec, check_rep=False)

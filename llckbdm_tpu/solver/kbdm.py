@@ -86,6 +86,14 @@ def _poles_to_lines(mu: CArr, keep, c: CArr, dwell: float, n: int,
     log_abs = jnp.log(jnp.maximum(mu_abs, 1e-30))
     t2 = -dt / jnp.where(jnp.abs(log_abs) > 1e-12, log_abs, -1e-12)
 
+    # Amplitude solve EXCLUDES growing poles (|mu|^n > e): their geometric
+    # Gram entries reach e^(2*mu_log_max) ~ 1e26, and with the shared f32
+    # Gram + rcond truncation they swamp the genuine poles' directions —
+    # measured: a noisy signal returned amplitude 0 for EVERY line.  Such
+    # poles have T2 < 0 and are dropped by the final filter regardless
+    # (the f64 oracle's lstsq keeps them; it can afford to).
+    valid = valid & (mu_abs <= np.float32(np.exp(1.0 / n)))
+
     # --- Vandermonde least squares ------------------------------------
     # Gram: G[j,l] = sum_n (conj(mu_j) mu_l)^n = (1 - z^N) / (1 - z)
     z = cmul(conj(CArr(mu.re[..., :, None], mu.im[..., :, None])),

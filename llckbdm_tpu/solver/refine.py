@@ -64,6 +64,8 @@ class RefinedLines(NamedTuple):
     d: DFC          # (..., C) complex amplitudes
     mask: jax.Array  # (..., C)
     lines: LineList  # f32 view (device-side convenience)
+    gn_step: jax.Array  # (..., C) |delta z| of the LAST GN iteration
+                        # (convergence counter, SURVEY.md §5 metrics row)
 
 
 @dataclass(frozen=True)
@@ -221,11 +223,17 @@ def refine_lines(c: DFC, lines: LineList, dwell: float,
         rhs = CArr(jnp.where(mask2, rhs.re, 0.0),
                    jnp.where(mask2, rhs.im, 0.0))
 
-        # relative Tikhonov: cfg.ridge scaled by the mean diagonal magnitude
+        # relative Tikhonov: cfg.ridge scaled by the mean diagonal magnitude.
+        # NO eigenvalue truncation (rcond ~ 0): for close line pairs (the
+        # brain config) the GN step NEEDS the small-eigenvalue directions of
+        # G — truncating below 1e-7*lam_max was measured to stall the GN at
+        # a wrong fixed point (err 0.76 vs truth), while the tiny-ridge full
+        # solve converges to ~1e-12 even with an f32 G (max_step clips the
+        # occasional garbage step along noise directions).
         tr = jnp.sum(jnp.abs(jnp.diagonal(g.re, axis1=-2, axis2=-1)),
                      axis=-1, keepdims=True)
         ridge = np.float32(cfg.ridge) * tr / mask2.shape[-1]
-        delta = hermitian_solve(g, rhs, ridge=ridge, rcond=1e-7,
+        delta = hermitian_solve(g, rhs, ridge=ridge, rcond=1e-14,
                                 sweeps=cfg.eigh_sweeps)
 
         cc = mask.shape[-1]
@@ -240,14 +248,15 @@ def refine_lines(c: DFC, lines: LineList, dwell: float,
                  D.df_add(z.im, D.df_from_f32(jnp.where(mask, dz_im, 0.0))))
         d2 = DFC(D.df_add(d.re, D.df_from_f32(jnp.where(mask, dd_re, 0.0))),
                  D.df_add(d.im, D.df_from_f32(jnp.where(mask, dd_im, 0.0))))
-        return (z2, d2)
+        return (z2, d2), jnp.where(mask, step, 0.0)
 
     # Unrolled GN loop: iters is small (1-4) and a lax.scan here was measured
     # to pessimize XLA catastrophically (~10^4 x runtime on CPU); straight-line
     # unrolling compiles and runs at the expected cost.
     state = (z, d)
+    gn_step_norm = jnp.zeros_like(lines.amplitude)
     for _ in range(cfg.iters):
-        state = gn_step(state)
+        state, gn_step_norm = gn_step(state)
     z, d = state
 
     # f32 view
@@ -263,7 +272,8 @@ def refine_lines(c: DFC, lines: LineList, dwell: float,
         phase=jnp.where(mask, jnp.arctan2(di, dr), 0.0),
         mask=mask.astype(jnp.float32),
     )
-    return RefinedLines(z=z, d=d, mask=mask.astype(jnp.float32), lines=view)
+    return RefinedLines(z=z, d=d, mask=mask.astype(jnp.float32), lines=view,
+                        gn_step=gn_step_norm)
 
 
 def refined_to_np(ref: RefinedLines, dwell: float) -> np.ndarray:

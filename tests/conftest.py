@@ -6,7 +6,13 @@ before jax is imported anywhere in the test process.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# LLCKBDM_TPU_TESTS=1 keeps the real TPU visible so @pytest.mark.tpu tests
+# can assert the accuracy gates on the actual chip:
+#     LLCKBDM_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+RUN_ON_TPU = os.environ.get("LLCKBDM_TPU_TESTS") == "1"
+
+if not RUN_ON_TPU:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,7 +24,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # ~20 min suite instead of ~2).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not RUN_ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -57,24 +57,71 @@ def test_kbdm_sweep_rejects_short_signal():
         lt.kbdm_sweep(from_np(np.zeros(100, complex)), 1e-3, (64,), CFG)
 
 
-def test_refined_hits_1e8_oracle_gate(five_peak_signal, five_peak_params):
+@pytest.mark.parametrize("seed,noise", [(0, 0.0), (1, 1e-4), (2, 1e-4)])
+def test_refined_hits_1e8_oracle_gate(five_peak_params, seed, noise):
     """The headline accuracy gate: f32 KBDM + df Gauss-Newton refinement
     matches the float64 scipy oracle to <= 1e-8 relative on all of
-    (A, T2, f, phase) (BASELINE.json:5)."""
-    sig, dwell = five_peak_signal
-    # oracle lines (float64 ground truth of the estimation problem)
-    olines, _ = oracle.kbdm(sig, dwell, m=180, p=16)
-    osel = oracle.match_lines(olines, five_peak_params)
-    olines = olines[osel]
+    (A, T2, f, phase) (BASELINE.json:5) — parameterized over per-voxel
+    parameter jitter seeds and complex noise (round-2 VERDICT task 9:
+    the gate was only ever asserted for the one noiseless signal).
+
+    With noise, the linear-algebra KBDM estimate is no longer the LS
+    estimator, so the oracle side is a float64 GN polish (oracle.refine)
+    of the SAME initial line list and model order the device refines:
+    both optimizers then share one least-squares fixed point and the gate
+    asserts the double-float GN numerics match float64 — independent of
+    the noise level.
+    """
+    dwell = 5e-4
+    rng = np.random.default_rng(seed)
+    params = five_peak_params.copy()
+    params[:, 2] += rng.normal(scale=2.0, size=5)
+    sig = oracle.sample_signal(params, 512, dwell)
+    sig = sig + noise * (rng.standard_normal(512)
+                         + 1j * rng.standard_normal(512))
 
     lines = lt.kbdm_fit(from_np(sig), dwell, 180, CFG)
+    if noise == 0.0:
+        # noiseless: the classic closed loop vs the f64 KBDM chain
+        olines, _ = oracle.kbdm(sig, dwell, m=180, p=16)
+        olines = olines[oracle.match_lines(olines, params)]
+    else:
+        # noisy: keep only the 5 genuine lines in the model on BOTH sides.
+        # With junk slots included the noisy LS problem has near-degenerate
+        # optima that differ in how junk absorbs noise (measured ~1e-4
+        # coupling into the genuine lines); the 5-line LS optimum is unique.
+        amp = np.asarray(lines.amplitude)
+        strong = (np.asarray(lines.mask) > 0.5) & (amp > 0.05 * amp.max())
+        lines = type(lines)(lines.amplitude, lines.t2, lines.frequency,
+                            lines.phase, jnp.asarray(strong, jnp.float32))
+        init = line_list_to_np(lines)
+        assert len(init) == 5
+        olines = oracle.refine(init, sig, dwell, iters=12)
+        olines = olines[oracle.match_lines(olines, params)]
+
     ref = refine_lines(D.dfc_from_np(sig), lines, dwell,
-                       RefineConfig(iters=3))
+                       RefineConfig(iters=6 if noise else 3))
     est = refined_to_np(ref, dwell)
-    sel = oracle.match_lines(est, five_peak_params)
+    sel = oracle.match_lines(est, params)
     est = est[sel]
     err = oracle.line_errors(est, olines)
     assert err.max() < 1e-8, f"max err {err.max():.3e}\n{err}"
+
+
+def test_noisy_signal_recovers_nonzero_amplitudes(five_peak_signal,
+                                                  five_peak_params):
+    """Regression: complex noise creates junk poles with |mu| > 1 whose
+    geometric Gram entries (~e^60 after the |mu|^n <= e^30 clamp) used to
+    swamp the shared f32 amplitude solve — every amplitude came back 0.
+    Growing poles are now excluded from the solve."""
+    sig, dwell = five_peak_signal
+    rng = np.random.default_rng(7)
+    noisy = sig + 1e-4 * (rng.standard_normal(len(sig))
+                          + 1j * rng.standard_normal(len(sig)))
+    est = line_list_to_np(lt.kbdm_fit(from_np(noisy), dwell, 180, CFG))
+    sel = oracle.match_lines(est, five_peak_params)
+    np.testing.assert_allclose(est[sel][:, 0], five_peak_params[:, 0],
+                               rtol=0.1)
 
 
 def test_refine_is_fixed_point_at_truth(five_peak_signal, five_peak_params):
