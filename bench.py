@@ -45,17 +45,30 @@ def log(msg: str, quiet: bool) -> None:
         print(msg, file=sys.stderr)
 
 
+def _materialize(out):
+    """Force REAL completion: on the axon backend the FIRST
+    block_until_ready after a fresh compile can return before the
+    computation ran (measured: "blocked" in 0.6 ms, bytes arrived 100 s
+    later).  Fetching bytes is the only reliable sync."""
+    import jax
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def timeit(fn, args, reps):
     import jax
     out = fn(*args)
     jax.block_until_ready(out)
-    ts = []
+    _materialize(out)
+    # time all reps together with ONE final materialization: device runs
+    # serialize, so the average is robust even if an individual
+    # block_until_ready lies
+    t0 = time.perf_counter()
     for _ in range(reps):
-        t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return min(ts), out
+    _materialize(out)
+    return (time.perf_counter() - t0) / reps, out
 
 
 def make_signals(v: int, n: int, dwell: float):
@@ -143,10 +156,10 @@ def main() -> None:
     # --- stage 1: f32 pipeline -------------------------------------------
     fit = jax.jit(lambda x: llc_kbdm_fit(x, dwell, cfg))
     t0 = time.perf_counter()
-    cons, _flat, counts = fit(c32)
+    cons, _flat, counts, _stats = fit(c32)
     jax.block_until_ready(counts)
     log(f"# fit warmup (compile+run): {time.perf_counter() - t0:.1f}s", quiet)
-    t_fit, (cons, _flat, counts) = timeit(fit, (c32,), args.reps)
+    t_fit, (cons, _flat, counts, _stats) = timeit(fit, (c32,), args.reps)
 
     # --- stage 2: refinement (the gate-meeting pipeline) ------------------
     refine = jax.jit(lambda s, l: refine_lines(s, l, dwell, rcfg))

@@ -22,8 +22,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_BIG = jnp.int32(2 ** 30)
+# plain numpy: a module-level jnp constant would initialize the XLA backend
+# at import time (which breaks jax.distributed.initialize in workers that
+# import the package before calling it)
+_BIG = np.int32(2 ** 30)
 
 
 def dbscan(feats: jax.Array, valid: jax.Array, eps: float,
@@ -34,6 +38,10 @@ def dbscan(feats: jax.Array, valid: jax.Array, eps: float,
     valid : (n,) bool
     Returns (n,) int32 labels: -1 noise / else the root point index of the
     cluster (stable, deterministic).  vmap over leading batch dims.
+
+    max_iters bounds the label-propagation loop (propagation with pointer
+    jumping converges in O(log n) rounds; 24 covers n up to ~2^24 — the
+    bound exists so a vmapped while_loop can never hang).
     """
     n = feats.shape[0]
     d2 = jnp.sum((feats[:, None, :] - feats[None, :, :]) ** 2, axis=-1)
@@ -47,7 +55,7 @@ def dbscan(feats: jax.Array, valid: jax.Array, eps: float,
     lab = jnp.where(core, idx, _BIG)
 
     def body(state):
-        lab, _ = state
+        lab, _, it = state
         # min over core neighbors
         neigh = jnp.where(cadj, lab[None, :], _BIG)
         lab1 = jnp.minimum(lab, jnp.min(neigh, axis=1))
@@ -55,12 +63,13 @@ def dbscan(feats: jax.Array, valid: jax.Array, eps: float,
         lab2 = jnp.minimum(lab1, lab1[jnp.clip(lab1, 0, n - 1)])
         lab2 = jnp.where(core, lab2, _BIG)
         changed = jnp.any(lab2 != lab)
-        return lab2, changed
+        return lab2, changed, it + 1
 
     def cond(state):
-        return state[1]
+        return state[1] & (state[2] < max_iters)
 
-    lab, _ = jax.lax.while_loop(cond, body, (lab, jnp.bool_(True)))
+    lab, _, _ = jax.lax.while_loop(
+        cond, body, (lab, jnp.bool_(True), jnp.int32(0)))
 
     # border points: valid, not core, adjacent to >= 1 core point
     border_neigh = jnp.where(adj & core[None, :], lab[None, :], _BIG)

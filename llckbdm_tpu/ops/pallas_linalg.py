@@ -180,14 +180,23 @@ def gram_svd(m: CArr, sweeps: int = 10, interpret: bool = False):
     # v[b, r, c] = vt[c, r, b]
     v_re = jnp.transpose(vtr, (2, 1, 0))[:batch]
     v_im = jnp.transpose(vti, (2, 1, 0))[:batch]
-    order = jnp.argsort(-sig, axis=-1)
-    sig = jnp.take_along_axis(sig, order, -1)[..., :kk]
-    oc = jnp.broadcast_to(order[..., None, :], v_re.shape)
-    v_re = jnp.take_along_axis(v_re, oc, -1)[..., :kk, :kk]
-    v_im = jnp.take_along_axis(v_im, oc, -1)[..., :kk, :kk]
+
+    # Descending sort WITHOUT sort/gather ops: XLA take_along_axis on the
+    # (B, k, k) eigenvector block costs ~180 ms at pipeline shapes on v5e
+    # (and argsort another ~35 ms); an O(k^2) elementwise rank + one-hot
+    # permutation applied as an MXU matmul is ~5x cheaper.
+    gt = (sig[..., None, :] > sig[..., :, None])
+    eq_before = ((sig[..., None, :] == sig[..., :, None])
+                 & (jnp.arange(ke)[None, :] < jnp.arange(ke)[:, None]))
+    rank = jnp.sum(gt | eq_before, axis=-1)           # (B, ke) in [0, ke)
+    onehot = (rank[..., :, None]
+              == jnp.arange(ke)[None, :]).astype(sig.dtype)  # (B, src, dst)
+    sig = jnp.einsum("bsd,bs->bd", onehot, sig)[..., :kk]
+    mm = lambda a: jnp.matmul(a, onehot,
+                              preferred_element_type=a.dtype)[..., :kk, :kk]
     return (sig.reshape(*batch_shape, kk),
-            CArr(v_re.reshape(*batch_shape, kk, kk),
-                 v_im.reshape(*batch_shape, kk, kk)))
+            CArr(mm(v_re).reshape(*batch_shape, kk, kk),
+                 mm(v_im).reshape(*batch_shape, kk, kk)))
 
 
 # ---------------------------------------------------------------------------

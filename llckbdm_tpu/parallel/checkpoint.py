@@ -170,7 +170,7 @@ class GridRunner:
                                                     seg.dtype)])
             c = CArr(jnp.asarray(seg.real, jnp.float32),
                      jnp.asarray(seg.imag, jnp.float32))
-            cons, _pooled, counts = fit_grid(c, self.dwell, self.cfg)
+            cons, _pooled, counts, _stats = fit_grid(c, self.dwell, self.cfg)
             out = {
                 "amplitude": np.asarray(cons.amplitude)[:e - s],
                 "t2": np.asarray(cons.t2)[:e - s],

@@ -30,10 +30,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.cplx import CArr
-from ..pipeline.llckbdm import LlcKbdmConfig, llc_kbdm_fit
+from ..pipeline.llckbdm import ClusterStats, LlcKbdmConfig, llc_kbdm_fit
 from ..signals import LineList
 from ..solver.refine import RefineConfig, RefinedLines, refine_lines
 from ..utils import df as D
@@ -55,8 +55,8 @@ def fit_grid_sharded(c: CArr, dwell: float, cfg: LlcKbdmConfig, mesh: Mesh):
     """LL-KBDM over a (V, N) voxel batch row-partitioned over mesh['data'].
 
     V must be divisible by the 'data' axis size.  Returns (consolidated,
-    pooled, counts) with the same row partitioning (results stay sharded —
-    gather with jax.device_get only what you need).
+    pooled, counts, stats) with the same row partitioning (results stay
+    sharded — gather with jax.device_get only what you need).
     """
     v = c.re.shape[0]
     ndata = mesh.shape["data"]
@@ -71,6 +71,7 @@ def fit_grid_sharded(c: CArr, dwell: float, cfg: LlcKbdmConfig, mesh: Mesh):
             LineList(*([row] * 5)),
             LineList(*([row] * 5)),
             row,
+            ClusterStats(*([row] * 4)),
         ),
     )
     return fit(c)
@@ -112,7 +113,7 @@ def refine_grid_timesharded(c: DFC, lines: LineList, dwell: float,
         gn_step=P("data", None),
     )
     fn = shard_map(local, mesh=mesh, in_specs=(spec_c, spec_lines),
-                   out_specs=out_spec, check_rep=False)
+                   out_specs=out_spec, check_vma=False)
     return jax.jit(fn)(c, lines)
 
 
@@ -126,7 +127,7 @@ def fit_and_refine_grid(c_np: np.ndarray, dwell: float,
     """
     c32 = CArr(jnp.asarray(c_np.real, jnp.float32),
                jnp.asarray(c_np.imag, jnp.float32))
-    cons, _pooled, counts = fit_grid_sharded(c32, dwell, cfg, mesh)
+    cons, _pooled, counts, _stats = fit_grid_sharded(c32, dwell, cfg, mesh)
     c_df = D.dfc_from_np(c_np)
     sh = NamedSharding(mesh, P("data", "time"))
     c_df = jax.tree.map(lambda x: jax.device_put(x, sh), c_df)

@@ -6,7 +6,7 @@ shapes, vmappable over voxel batches (BASELINE configs 3-5).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +16,16 @@ from ..ops.cplx import CArr
 from ..ops.dbscan import compact_labels, dbscan, masked_median
 from ..signals import LineList
 from ..solver.kbdm import KbdmConfig, kbdm_sweep
+
+
+class ClusterStats(NamedTuple):
+    """Per-cluster dispersion of the pooled lines (SURVEY.md §2 'cluster
+    consolidation ... counts/std').  Shapes (..., C); 0 for empty slots."""
+
+    amplitude: jax.Array   # std of A over cluster members
+    t2: jax.Array          # std of T2
+    frequency: jax.Array   # std of f
+    phase: jax.Array       # CIRCULAR std of phase: sqrt(-2 ln R)
 
 
 @dataclass(frozen=True)
@@ -41,13 +51,23 @@ def transform_line_lists(lines: LineList, dwell: float,
     return jnp.stack([x0, x1], axis=-1)
 
 
-def _consolidate_one(pool: LineList, member: jax.Array) -> LineList:
+def _masked_std(values: jax.Array, member: jax.Array) -> jax.Array:
+    """Population std of values[i] over member[:, c] > 0, per cluster c."""
+    cnt = jnp.sum(member, axis=0)
+    safe = jnp.maximum(cnt, 1.0)
+    mean = jnp.einsum("nc,n->c", member, values) / safe
+    var = jnp.einsum("nc,n->c", member, values * values) / safe - mean ** 2
+    return jnp.where(cnt > 0, jnp.sqrt(jnp.maximum(var, 0.0)), 0.0)
+
+
+def _consolidate_one(pool: LineList, member: jax.Array):
     """Median consolidation of one voxel's pooled lines.
 
     pool   : LineList with flat (n,) fields
     member : (n, C) one-hot cluster membership
     Matches oracle.reference.llc_kbdm consolidation: component-wise medians,
-    phase from the medians of Re(d), Im(d), d = A e^{i phase}.
+    phase from the medians of Re(d), Im(d), d = A e^{i phase}.  Also returns
+    per-cluster dispersion (ClusterStats).
     """
     amp = masked_median(pool.amplitude, member)
     t2 = masked_median(pool.t2, member)
@@ -59,16 +79,30 @@ def _consolidate_one(pool: LineList, member: jax.Array) -> LineList:
     phase = jnp.arctan2(med_im, med_re)
     counts = jnp.sum(member, axis=0)
     mask = (counts > 0).astype(pool.amplitude.dtype)
-    return LineList(amplitude=amp * mask, t2=jnp.where(mask > 0, t2, 1.0),
-                    frequency=freq * mask, phase=phase * mask, mask=mask)
+
+    safe = jnp.maximum(counts, 1.0)
+    cbar = jnp.einsum("nc,n->c", member, jnp.cos(pool.phase)) / safe
+    sbar = jnp.einsum("nc,n->c", member, jnp.sin(pool.phase)) / safe
+    r = jnp.minimum(jnp.hypot(cbar, sbar), 1.0)
+    circ_std = jnp.sqrt(jnp.maximum(-2.0 * jnp.log(jnp.maximum(r, 1e-9)),
+                                    0.0))
+    stats = ClusterStats(amplitude=_masked_std(pool.amplitude, member),
+                         t2=_masked_std(pool.t2, member),
+                         frequency=_masked_std(pool.frequency, member),
+                         phase=jnp.where(counts > 0, circ_std, 0.0))
+    lines = LineList(amplitude=amp * mask, t2=jnp.where(mask > 0, t2, 1.0),
+                     frequency=freq * mask, phase=phase * mask, mask=mask)
+    return lines, stats
 
 
 def llc_kbdm_fit(c: CArr, dwell: float, cfg: LlcKbdmConfig):
-    """Full LL-KBDM fit: c (..., N) -> (consolidated, pooled, counts).
+    """Full LL-KBDM fit: c (..., N) -> (consolidated, pooled, counts, stats).
 
     consolidated : LineList (..., C) sorted deterministically by cluster size
     pooled       : LineList (..., S*p) all sweep lines (mask = validity)
     counts       : (..., C) cluster member counts
+    stats        : ClusterStats (..., C) per-cluster std of (A, T2, f) and
+                   circular std of phase
     """
     sweep = kbdm_sweep(c, dwell, cfg.m_values, cfg.kbdm)   # (..., S, p)
     flat = LineList(*(x.reshape(*x.shape[:-2], -1) for x in sweep))
@@ -79,13 +113,12 @@ def llc_kbdm_fit(c: CArr, dwell: float, cfg: LlcKbdmConfig):
     def one_voxel(feats_v, valid_v, pool_v):
         labels = dbscan(feats_v, valid_v, cfg.eps, cfg.min_samples)
         member, counts = compact_labels(labels, cfg.max_clusters)
-        cons = _consolidate_one(pool_v, member)
-        return cons, counts
+        cons, stats = _consolidate_one(pool_v, member)
+        return cons, counts, stats
 
     batch_shape = flat.amplitude.shape[:-1]
-    n_flat = flat.amplitude.shape[-1]
     fn = one_voxel
     for _ in range(len(batch_shape)):
         fn = jax.vmap(fn)
-    cons, counts = fn(feats, valid, flat)
-    return cons, flat, counts
+    cons, counts, stats = fn(feats, valid, flat)
+    return cons, flat, counts, stats

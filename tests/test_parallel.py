@@ -64,8 +64,8 @@ def test_fit_grid_sharded_matches_local(grid_signals):
     the cluster structure (counts, masks) must agree exactly.
     """
     mesh = make_mesh({"data": 8})
-    local_cons, _, local_counts = fit_grid(_to_carr(grid_signals), 5e-4, CFG)
-    shard_cons, _, shard_counts = fit_grid_sharded(
+    local_cons, _, local_counts, _ = fit_grid(_to_carr(grid_signals), 5e-4, CFG)
+    shard_cons, _, shard_counts, _ = fit_grid_sharded(
         _to_carr(grid_signals), 5e-4, CFG, mesh)
     for a, b in zip(local_cons, shard_cons):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -81,7 +81,7 @@ def test_refine_timesharded_matches_single_device(grid_signals):
     poles beyond double-float roundoff (the psum partial sums are f32, so
     allow a tight-but-nonzero tolerance)."""
     mesh = make_mesh({"data": 4, "time": 2})
-    cons, _, _ = fit_grid(_to_carr(grid_signals), 5e-4, CFG)
+    cons, _, _, _ = fit_grid(_to_carr(grid_signals), 5e-4, CFG)
     c_df = D.dfc_from_np(grid_signals)
     rcfg = RefineConfig(iters=3)
 
@@ -148,7 +148,7 @@ def test_gridrunner_resume_skips_completed(grid_signals, tmp_path):
     out = r2.gather(8)
     assert out["amplitude"].shape == (8, CFG.max_clusters)
     # results match a direct grid fit
-    cons, _, _ = fit_grid(_to_carr(grid_signals), 5e-4, CFG)
+    cons, _, _, _ = fit_grid(_to_carr(grid_signals), 5e-4, CFG)
     np.testing.assert_array_equal(out["amplitude"], np.asarray(cons.amplitude))
 
 

@@ -29,7 +29,7 @@ def test_transform_matches_oracle(five_peak_params):
 
 def test_llc_kbdm_config3_recovers_lines(five_peak_signal, five_peak_params):
     sig, dwell = five_peak_signal
-    cons, pooled, counts = llc_kbdm_fit(from_np(sig), dwell, SMALL)
+    cons, pooled, counts, stats = llc_kbdm_fit(from_np(sig), dwell, SMALL)
     est = line_list_to_np(cons)
     assert len(est) >= 5
     sel = oracle.match_lines(est, five_peak_params)
@@ -49,7 +49,7 @@ def test_llc_kbdm_noise_rejection(five_peak_params):
     rng = np.random.default_rng(0)
     noisy = sig + 0.01 * (rng.standard_normal(512)
                           + 1j * rng.standard_normal(512))
-    cons, pooled, counts = llc_kbdm_fit(from_np(noisy), dwell, SMALL)
+    cons, pooled, counts, stats = llc_kbdm_fit(from_np(noisy), dwell, SMALL)
     est = line_list_to_np(cons)
     sel = oracle.match_lines(est, five_peak_params)
     np.testing.assert_allclose(est[sel][:, 2], five_peak_params[:, 2],
@@ -60,7 +60,7 @@ def test_llc_kbdm_voxel_batch(five_peak_signal, five_peak_params):
     """Config 4 shape: a (B,) voxel batch through one jitted call."""
     sig, dwell = five_peak_signal
     batch = np.stack([sig, sig * 0.5, sig])
-    cons, pooled, counts = llc_kbdm_fit(from_np(batch), dwell, SMALL)
+    cons, pooled, counts, stats = llc_kbdm_fit(from_np(batch), dwell, SMALL)
     assert cons.amplitude.shape == (3, SMALL.max_clusters)
     # voxel 1 is a scaled copy: same frequencies, half amplitude
     est0 = line_list_to_np(type(cons)(*(x[0] for x in cons)))

@@ -57,7 +57,7 @@ def test_brain_llckbdm_full_sweep(brain_signal, brain_params):
     cfg = LlcKbdmConfig(m_values=tuple(range(120, 301, 4)),
                         eps=2e-4, min_samples=10, max_clusters=32,
                         kbdm=BRAIN_CFG)
-    cons, pooled, counts = llc_kbdm_fit(from_np(sig), dwell, cfg)
+    cons, pooled, counts, stats = llc_kbdm_fit(from_np(sig), dwell, cfg)
     est = line_list_to_np(cons)
     assert len(est) >= len(brain_params)
     sel = oracle.match_lines(est, brain_params)
