@@ -5,16 +5,21 @@ Measures, on one chip:
 1. `llckbdm_refined_fits_per_sec_per_chip` — the PRIMARY metric and the one
    vs_baseline is computed on: the full pipeline THAT MEETS THE 1e-8
    ACCURACY GATE (multi-m KBDM sweep -> pool -> DBSCAN -> consolidation ->
-   3-iteration double-float Gauss-Newton refinement; BASELINE.json:5
-   couples the 10k fits/s target to the 1e-8 gate).
+   double-float Gauss-Newton refinement, default 6 iterations — the count
+   the committed tests prove converges for noisy config-1 signals).  The
+   gate is not just advertised: it is ASSERTED in-bench on sample voxels
+   against a float64 oracle GN polish of the same initial line list
+   (BASELINE.json:5 couples the 10k fits/s target to the 1e-8 gate).
 2. `fit_fits_per_sec` — the f32 pipeline alone (no refinement), for
    comparison with rounds 1-2 which reported only this.
 3. `eigensolve_gflops` — the batched complex-symmetric Jacobi eigensolve
    (ops.pallas_jacobi.eig_cs) at the pipeline's exact shapes: the second
    north-star metric (BASELINE.json:2).
 4. Per-stage wall times (sweep / cluster+consolidate / refine) and
-   convergence counters (final Jacobi off-diagonal norm, final GN |dz|)
-   — SURVEY.md §5 observability row.
+   convergence counters — SURVEY.md §5 observability row.  The Jacobi
+   counter is the final off-diagonal norm of the PRODUCTION reduced
+   matrices relative to their Frobenius norm (kbdm_sweep with_diag=True),
+   asserted < 1e-2 in-bench.
 
 Default voxel batch 512: measured saturation V=128 -> 789, V=256 -> ~820,
 V=512 -> 833, V=1024 -> (flat) fits/s on v5e; 512 is the knee (run with
@@ -73,7 +78,8 @@ def timeit(fn, args, reps):
 
 def make_signals(v: int, n: int, dwell: float):
     """V distinct voxel signals: the config-1 5-peak line list with small
-    per-voxel frequency/amplitude jitter + complex noise (realistic MRSI)."""
+    per-voxel frequency/amplitude jitter + complex noise (realistic MRSI).
+    Returns (signals (V, N) complex128, per-voxel truth params (V, 5, 4))."""
     from llckbdm_tpu.oracle.reference import sample_signal
     base = np.array([
         [1.0, 0.05, -120.0, 0.1],
@@ -84,14 +90,16 @@ def make_signals(v: int, n: int, dwell: float):
     ])
     rng = np.random.default_rng(0)
     sigs = np.empty((v, n), np.complex128)
+    truths = np.empty((v, 5, 4))
     for i in range(v):
         p = base.copy()
         p[:, 2] += rng.normal(scale=2.0, size=5)
         p[:, 0] *= 1.0 + rng.normal(scale=0.05, size=5)
         sigs[i] = sample_signal(p, n, dwell)
+        truths[i] = p
     sigs += 1e-4 * (rng.standard_normal((v, n))
                     + 1j * rng.standard_normal((v, n)))
-    return sigs
+    return sigs, truths
 
 
 def eig_cs_flops(batch: int, p: int, sweeps: int) -> float:
@@ -111,6 +119,18 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--voxels", type=int, default=512)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--gn-iters", type=int, default=6,
+                    help="GN refinement iterations; 6 is the count the "
+                         "committed tests prove meets the 1e-8 gate for "
+                         "noisy config-1 signals (tests/test_solver.py)")
+    ap.add_argument("--refine-clusters", type=int, default=16,
+                    help="cluster slots refined (consolidated slots are "
+                         "count-sorted, so slicing keeps the largest; 16 "
+                         ">> the ~5-8 genuine clusters at min_samples=20, "
+                         "and halves the GN einsum/solve cost vs C=32)")
+    ap.add_argument("--gate-voxels", type=int, default=3,
+                    help="sample voxels on which the 1e-8 oracle gate is "
+                         "ASSERTED in-bench (0 disables)")
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--saturation", action="store_true",
                     help="sweep voxel counts and report fits/s at each")
@@ -136,10 +156,10 @@ def main() -> None:
     cfg = LlcKbdmConfig(m_values=tuple(range(120, 257, 4)),
                         eps=2e-4, min_samples=20, max_clusters=32,
                         kbdm=KbdmConfig(p=16))
-    rcfg = RefineConfig(iters=3)
+    rcfg = RefineConfig(iters=args.gn_iters)
     s_sweep, p = len(cfg.m_values), cfg.kbdm.p
 
-    sigs = make_signals(v, n, dwell)
+    sigs, truths = make_signals(v, n, dwell)
     c32 = CArr(jnp.asarray(sigs.real, jnp.float32),
                jnp.asarray(sigs.imag, jnp.float32))
     cdf = D.dfc_from_np(sigs)
@@ -147,10 +167,15 @@ def main() -> None:
     if args.saturation:
         fit = jax.jit(lambda x: llc_kbdm_fit(x, dwell, cfg))
         for vv in (128, 256, 512, 1024):
-            cs = CArr(c32.re[:vv] if vv <= v else jnp.tile(c32.re, (vv // v, 1)),
-                      c32.im[:vv] if vv <= v else jnp.tile(c32.im, (vv // v, 1)))
+            if vv <= v:
+                cs, count = CArr(c32.re[:vv], c32.im[:vv]), vv
+            else:
+                tiles = vv // v
+                cs = CArr(jnp.tile(c32.re, (tiles, 1)),
+                          jnp.tile(c32.im, (tiles, 1)))
+                count = v * tiles      # actual batch, not the requested vv
             t, _ = timeit(fit, (cs,), args.reps)
-            log(f"# saturation V={vv}: {vv / t:.1f} fits/s", quiet)
+            log(f"# saturation V={count}: {count / t:.1f} fits/s", quiet)
         return
 
     # --- stage 1: f32 pipeline -------------------------------------------
@@ -162,6 +187,11 @@ def main() -> None:
     t_fit, (cons, _flat, counts, _stats) = timeit(fit, (c32,), args.reps)
 
     # --- stage 2: refinement (the gate-meeting pipeline) ------------------
+    # consolidated slots are ordered by descending cluster size
+    # (ops.dbscan.compact_labels), so the top --refine-clusters slice keeps
+    # every genuine line; the gate assertion below would catch a miss.
+    rc = min(args.refine_clusters, cfg.max_clusters)
+    cons = jax.tree.map(lambda x: x[..., :rc], cons)
     refine = jax.jit(lambda s, l: refine_lines(s, l, dwell, rcfg))
     t0 = time.perf_counter()
     refined = refine(cdf, cons)
@@ -180,7 +210,9 @@ def main() -> None:
     t_sweep, _ = timeit(sweep_fn, (c32,), args.reps)
     t_cluster = max(t_fit - t_sweep, 0.0)
 
-    # --- eigensolve GFLOP/s + convergence counter (north-star metric 2) ---
+    # --- eigensolve GFLOP/s (north-star metric 2): timing on random dense
+    # complex-symmetric matrices at pipeline shapes (fixed sweep count, so
+    # the timing is convergence-independent) -------------------------------
     eig_batch = s_sweep * v
     rng = np.random.default_rng(1)
     ut = rng.standard_normal((eig_batch, p, p)) \
@@ -189,16 +221,47 @@ def main() -> None:
     utc = CArr(jnp.asarray(ut.real, jnp.float32),
                jnp.asarray(ut.imag, jnp.float32))
     sweeps = cfg.kbdm.eig_sweeps
-    if on_tpu:
-        from llckbdm_tpu.ops import pallas_jacobi
-        eig = jax.jit(lambda x: pallas_jacobi.eig_cs_resid(x, sweeps=sweeps))
-        t_eig, (_, resid) = timeit(eig, (utc,), args.reps)
-        jacobi_offdiag = float(jnp.max(resid))
-    else:
-        eig = jax.jit(lambda x: jacobi.eig_cs(x, sweeps=sweeps))
-        t_eig, _ = timeit(eig, (utc,), args.reps)
-        jacobi_offdiag = float("nan")
+    eig = jax.jit(lambda x: jacobi.eig_cs(x, sweeps=sweeps))
+    t_eig, _ = timeit(eig, (utc,), args.reps)
     gflops = eig_cs_flops(eig_batch, p, sweeps) / t_eig / 1e9
+
+    # --- convergence counter: final Jacobi off-diagonal norm of the
+    # PRODUCTION reduced matrices, relative to their Frobenius norm
+    # (round-3 VERDICT task 4: random dense matrices legitimately diverge
+    # under complex-orthogonal rotations — only the pipeline's own
+    # matrices are meaningful to monitor).  Small sub-batch, not timed. ---
+    vsub = min(32, v)
+    csub = CArr(c32.re[:vsub], c32.im[:vsub])
+    _, sweep_diag = jax.jit(lambda x: kbdm_sweep(
+        x, dwell, cfg.m_values, cfg.kbdm, with_diag=True))(csub)
+    jacobi_offdiag = float(jnp.max(sweep_diag["eig_offdiag_rel"]))
+    assert jacobi_offdiag < 1e-2, (
+        f"Jacobi eigensolve did not converge on production matrices: "
+        f"relative off-diagonal {jacobi_offdiag:.3e}")
+
+    # --- 1e-8 accuracy gate, asserted ON THE BENCHMARKED OUTPUTS
+    # (BASELINE.json:5 couples the throughput target to the gate): the
+    # refined lines of sample voxels must match a float64 oracle GN polish
+    # of the same initial line list to <= 1e-8 relative. -------------------
+    gate_err = float("nan")
+    if args.gate_voxels:
+        from llckbdm_tpu.oracle import reference as oracle
+        from llckbdm_tpu.signals import line_list_to_np
+        from llckbdm_tpu.solver.refine import refined_to_np
+        errs = []
+        for i in range(min(args.gate_voxels, v)):
+            init = line_list_to_np(jax.tree.map(lambda x: x[i], cons))
+            est = refined_to_np(jax.tree.map(lambda x: x[i], refined), dwell)
+            olines = oracle.refine(init, sigs[i], dwell, iters=20)
+            sel_o = oracle.match_lines(olines, truths[i])
+            sel_e = oracle.match_lines(est, truths[i])
+            errs.append(oracle.line_errors(est[sel_e], olines[sel_o]).max())
+        gate_err = float(np.max(errs))
+        assert gate_err < 1e-8, (
+            f"refined bench outputs missed the 1e-8 oracle gate: "
+            f"max rel err {gate_err:.3e} (per-voxel {errs})")
+        log(f"# gate: max rel err vs f64 oracle on {len(errs)} voxels = "
+            f"{gate_err:.2e} (< 1e-8)", quiet)
 
     log(f"# fit {t_fit*1e3:.1f} ms (sweep {t_sweep*1e3:.1f} + cluster "
         f"{t_cluster*1e3:.1f}) + refine {t_refine*1e3:.1f} ms -> "
@@ -208,15 +271,17 @@ def main() -> None:
     print(json.dumps({
         "metric": "llckbdm_refined_voxel_fits_per_sec_per_chip",
         "value": round(fits_refined, 2),
-        "unit": "fits/s/chip (N=512, m-sweep 120..256:4, p=16, GN iters=3)",
+        "unit": f"fits/s/chip (N=512, m-sweep 120..256:4, p=16, "
+                f"GN iters={args.gn_iters}, 1e-8 gate asserted)",
         "vs_baseline": round(fits_refined / TARGET_PER_CHIP, 3),
         "fit_fits_per_sec": round(fits_f32, 2),
         "eigensolve_gflops": round(gflops, 2),
         "stage_ms": {"sweep": round(t_sweep * 1e3, 2),
                      "cluster_consolidate": round(t_cluster * 1e3, 2),
                      "refine": round(t_refine * 1e3, 2)},
-        "counters": {"jacobi_offdiag_final": jacobi_offdiag,
-                     "gn_last_step_max": gn_step},
+        "counters": {"jacobi_offdiag_rel_production": jacobi_offdiag,
+                     "gn_last_step_max": gn_step,
+                     "gate_max_rel_err": gate_err},
         "voxels": v,
     }))
 

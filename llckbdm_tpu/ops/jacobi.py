@@ -38,10 +38,20 @@ import numpy as np
 from .cplx import CArr
 
 
-@functools.lru_cache(maxsize=1)
 def _tpu_backend() -> bool:
+    """True when computations dispatch to a TPU by default.
+
+    Checked per call (not cached): honors ``jax.default_device(...)``
+    contexts / ``jax.config.update("jax_default_device", ...)`` and config
+    changes made after import, so solver code explicitly pinned to CPU in
+    a TPU-visible process takes the scan path instead of failing to lower
+    the Pallas kernels.
+    """
     try:
-        return jax.devices()[0].platform == "tpu"
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return dev.platform == "tpu"
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 
@@ -180,7 +190,7 @@ def _cyclic_pairs(n: int):
     return np.asarray(ii, np.int32), np.asarray(jj, np.int32)
 
 
-def _eig_cs_single(a: CArr, sweeps: int):
+def _eig_cs_single(a: CArr, sweeps: int, with_resid: bool = False):
     """Jacobi eigenvalues of one (n, n) complex-symmetric matrix.
 
     Rotations are applied SEQUENTIALLY (one pair at a time).  Unlike the
@@ -267,7 +277,13 @@ def _eig_cs_single(a: CArr, sweeps: int):
     ks = jnp.arange(steps_per_sweep * sweeps)
     carry, _ = jax.lax.scan(rotate, carry, ks)
     ar, ai = carry
-    return CArr(jnp.diagonal(ar), jnp.diagonal(ai))
+    mu = CArr(jnp.diagonal(ar), jnp.diagonal(ai))
+    if not with_resid:
+        return mu
+    total = jnp.sum(ar * ar + ai * ai)
+    diag = jnp.sum(mu.re * mu.re + mu.im * mu.im)
+    resid = jnp.sqrt(jnp.maximum(total - diag, 0.0))
+    return mu, resid
 
 
 def eig_cs(a: CArr, sweeps: int = 10) -> CArr:
@@ -280,6 +296,23 @@ def eig_cs(a: CArr, sweeps: int = 10) -> CArr:
         from . import pallas_jacobi
         return pallas_jacobi.eig_cs(a, sweeps=sweeps)
     fn = functools.partial(_eig_cs_single, sweeps=sweeps)
+    ndim = a.re.ndim
+    for _ in range(ndim - 2):
+        fn = jax.vmap(fn)
+    return fn(a)
+
+
+def eig_cs_resid(a: CArr, sweeps: int = 10):
+    """eig_cs plus the final off-diagonal Frobenius norm per matrix.
+
+    Returns (mu, resid) with mu CArr (..., n) and resid (...,) — the Jacobi
+    convergence counter (SURVEY.md §5 metrics row), measured on the ACTUAL
+    input matrices, so bench.py can surface production convergence.
+    """
+    if _tpu_backend():
+        from . import pallas_jacobi
+        return pallas_jacobi.eig_cs_resid(a, sweeps=sweeps)
+    fn = functools.partial(_eig_cs_single, sweeps=sweeps, with_resid=True)
     ndim = a.re.ndim
     for _ in range(ndim - 2):
         fn = jax.vmap(fn)

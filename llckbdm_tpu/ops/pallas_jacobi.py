@@ -1,4 +1,4 @@
-"""Pallas TPU kernels for the batched Jacobi eigensolvers.
+"""Pallas TPU kernel for the batched complex-symmetric Jacobi eigensolver.
 
 Why a kernel (the "Pallas/XLA kernels ... speed-of-light per chip" north
 star, BASELINE.json:5): the KBDM pipeline diagonalizes thousands of tiny
@@ -10,19 +10,20 @@ inside ONE kernel with the batch laid out along the 128-wide lane axis:
 matrix element (i, j) of batch b sits at [i, j, b], so every rotation is a
 handful of (n, B)-shaped VPU ops touching only VMEM.
 
-The structural trick that makes the kernel lane-friendly: both solvers act
-on matrices with row/column symmetry (Hermitian A = A^H, complex-symmetric
-A = A^T), so a two-sided rotation J* A J is computed ENTIRELY IN ROW FORM:
+The structural trick that makes the kernel lane-friendly: the solver acts
+on matrices with row/column symmetry (complex-symmetric A = A^T), so a
+two-sided rotation J^T A J is computed ENTIRELY IN ROW FORM:
 
     rows i, j:    row transform, with the (i,i),(i,j),(j,i),(j,j) entries
                   replaced by the closed-form 2x2 two-sided values (folded
                   into the row vectors via sublane-iota masks);
-    cols i, j:    written as the (conjugate) transpose of the final rows —
-                  a pure data movement, no column arithmetic.
+    cols i, j:    written as the transpose of the final rows — a pure data
+                  movement, no column arithmetic.
 
-Eigenvector accumulation (eigh) stores V^T so V's column rotations are row
-updates too (V has no symmetry, but its update never reads other rows, so
-no column write-back is needed).
+(A Hermitian eigh kernel in the same style was built and benchmarked —
+tools/bench_eigh_variants.py — but its per-pair column write-back measured
+SLOWER than the XLA scan on v5e, so the TPU hot path avoids Hermitian eigh
+entirely via ops.pallas_linalg and the kernel was dropped.)
 
 Pair schedule: the round-robin "circle method" in closed form (no schedule
 tables): round r of n-1 has pairs
@@ -34,8 +35,10 @@ application was measured to diverge, see ops/jacobi.py) — but each step is
 vectorized across the whole lane batch.
 
 Rotation formulas match ops/jacobi.py exactly; that lax.scan implementation
-remains the CPU fallback and the cross-check oracle (tests run both, plus
-interpret=True here).
+remains the CPU fallback and the cross-check oracle.  The default CPU test
+suite exercises this kernel via ``interpret=True``
+(tests/test_pallas_kernels.py); the real-chip compile is asserted by the
+tpu-marked tests.
 """
 from __future__ import annotations
 
@@ -82,156 +85,6 @@ def _to_lanes(x: jax.Array, n: int, b_blk: int):
     if pad:
         lanes = jnp.pad(lanes, ((0, 0), (0, 0), (0, pad)))
     return lanes, batch_shape, b
-
-
-# ---------------------------------------------------------------------------
-# Hermitian eigendecomposition
-# ---------------------------------------------------------------------------
-
-def _eigh_kernel(ar_ref, ai_ref, w_ref, vtr_ref, vti_ref, sr, si, *,
-                 n: int, sweeps: int):
-    f32 = ar_ref.dtype
-    sr[:] = ar_ref[:]
-    si[:] = ai_ref[:]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
-    eye = jnp.where(rows == cols, 1.0, 0.0).astype(f32)
-    vtr_ref[:] = jnp.broadcast_to(eye, vtr_ref.shape)
-    vti_ref[:] = jnp.zeros_like(vti_ref)
-
-    def round_body(step, carry):
-        r = jax.lax.rem(step, n - 1)
-        for k in range(n // 2):
-            i, j = _rr_pair(r, k, n)
-            aii = sr[i, i, :]
-            ajj = sr[j, j, :]
-            br, bi = sr[i, j, :], si[i, j, :]
-            babs = jnp.sqrt(br * br + bi * bi)
-            dscale = jnp.sqrt(aii * aii + ajj * ajj) + 1e-30
-            skip = babs <= 1e-7 * dscale
-            safe_b = jnp.where(skip, 1.0, babs)
-            wr = jnp.where(skip, 1.0, br / safe_b)
-            wi = jnp.where(skip, 0.0, bi / safe_b)
-            # renormalize: |w| != 1 (babs underflow for tiny b) would scale
-            # the rows instead of rotating them
-            wn = jax.lax.rsqrt(wr * wr + wi * wi)
-            wr = wr * wn
-            wi = wi * wn
-            tau = (ajj - aii) / (2.0 * safe_b)
-            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-            t = jnp.where(tau == 0.0, 1.0, t)
-            c = jax.lax.rsqrt(1.0 + t * t)
-            s = c * t
-            c = jnp.where(skip, 1.0, c)
-            s = jnp.where(skip, 0.0, s)
-
-            # Row update (J^H A): row_i' = c ri - s (w rj); row_j' = s ri + c (w rj)
-            ri_r, ri_i = sr[i, :, :], si[i, :, :]
-            rj_r, rj_i = sr[j, :, :], si[j, :, :]
-            wrj_r = wr * rj_r - wi * rj_i
-            wrj_i = wr * rj_i + wi * rj_r
-            ni_r = c * ri_r - s * wrj_r
-            ni_i = c * ri_i - s * wrj_i
-            nj_r = s * ri_r + c * wrj_r
-            nj_i = s * ri_i + c * wrj_i
-
-            # 2x2 entry fix: the column transform only touches entries
-            # (i,i), (i,j), (j,i), (j,j) of rows i, j — closed forms using
-            # w * conj(b) = |b| (real).  skip => c=1, s=0 reproduces A.
-            # Folded into the row values via sublane masks.
-            aii_new = c * c * aii - 2.0 * c * s * babs + s * s * ajj
-            ajj_new = s * s * aii + 2.0 * c * s * babs + c * c * ajj
-            off_r = jnp.where(skip, br, 0.0)
-            off_i = jnp.where(skip, bi, 0.0)
-            pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-            is_i, is_j = pos == i, pos == j
-            ni_r = jnp.where(is_i, aii_new, jnp.where(is_j, off_r, ni_r))
-            ni_i = jnp.where(is_i, 0.0, jnp.where(is_j, off_i, ni_i))
-            nj_r = jnp.where(is_j, ajj_new, jnp.where(is_i, off_r, nj_r))
-            nj_i = jnp.where(is_j, 0.0, jnp.where(is_i, -off_i, nj_i))
-
-            # write rows, then columns = conj(rows) (Hermitian): the stored
-            # matrix holds all n^2 entries, so the other rows' (·, i) and
-            # (·, j) entries must be refreshed too — pure data movement.
-            sr[i, :, :] = ni_r
-            si[i, :, :] = ni_i
-            sr[j, :, :] = nj_r
-            si[j, :, :] = nj_i
-            sr[:, i, :] = ni_r
-            si[:, i, :] = -ni_i
-            sr[:, j, :] = nj_r
-            si[:, j, :] = -nj_i
-
-            # Eigenvectors: V' = V J is a column op on V = row op on V^T
-            # with conj(w):  vt_i' = c vt_i - s (conj(w) vt_j)
-            vi_r, vi_i = vtr_ref[i, :, :], vti_ref[i, :, :]
-            vj_r, vj_i = vtr_ref[j, :, :], vti_ref[j, :, :]
-            wvj_r = wr * vj_r + wi * vj_i
-            wvj_i = wr * vj_i - wi * vj_r
-            vtr_ref[i, :, :] = c * vi_r - s * wvj_r
-            vti_ref[i, :, :] = c * vi_i - s * wvj_i
-            vtr_ref[j, :, :] = s * vi_r + c * wvj_r
-            vti_ref[j, :, :] = s * vi_i + c * wvj_i
-        return carry
-
-    jax.lax.fori_loop(0, sweeps * (n - 1), round_body, 0)
-    for q in range(n):
-        w_ref[q, :] = sr[q, q, :]
-
-
-def eigh(a: CArr, sweeps: int = 10, interpret: bool = False):
-    """Batched Hermitian eigendecomposition (Pallas TPU kernel).
-
-    a : CArr (..., n, n) with a = a^H.  Returns (w, v): eigenvalues (..., n)
-    sorted descending and unitary eigenvectors (..., n, n) — same contract
-    as ops.jacobi.eigh.
-    """
-    n = a.re.shape[-1]
-    pad_n = n % 2
-    ar, ai = a.re, a.im
-    if pad_n:
-        # pad diagonal with -1e30 so the padded eigenvalue sorts LAST and
-        # is sliced off even when genuine eigenvalues are negative (its
-        # rotations are always skipped: the off-diagonals are zero).
-        padcfg = [(0, 0)] * (ar.ndim - 2) + [(0, 1), (0, 1)]
-        ar, ai = jnp.pad(ar, padcfg), jnp.pad(ai, padcfg)
-        ar = ar.at[..., n, n].set(-1e30)
-    ne = n + pad_n
-
-    b_blk = _pick_block(ne, int(jnp.size(ar)) // (ne * ne), n_bufs=8)
-    lr, batch_shape, batch = _to_lanes(ar, ne, b_blk)
-    li, _, _ = _to_lanes(ai, ne, b_blk)
-    grid = (lr.shape[-1] // b_blk,)
-
-    spec = pl.BlockSpec((ne, ne, b_blk), lambda g: (0, 0, g),
-                        memory_space=pltpu.VMEM)
-    w_spec = pl.BlockSpec((ne, b_blk), lambda g: (0, g),
-                          memory_space=pltpu.VMEM)
-    w, vtr, vti = pl.pallas_call(
-        functools.partial(_eigh_kernel, n=ne, sweeps=sweeps),
-        grid=grid,
-        out_shape=(jax.ShapeDtypeStruct((ne, lr.shape[-1]), lr.dtype),
-                   jax.ShapeDtypeStruct(lr.shape, lr.dtype),
-                   jax.ShapeDtypeStruct(lr.shape, lr.dtype)),
-        in_specs=[spec, spec],
-        out_specs=(w_spec, spec, spec),
-        scratch_shapes=[pltpu.VMEM((ne, ne, b_blk), lr.dtype)] * 2,
-        interpret=interpret,
-    )(lr, li)
-
-    # back to (..., n) / (..., n, n); drop batch + size padding
-    w = jnp.moveaxis(w, -1, 0)[:batch]                   # (B, ne)
-    v_re = jnp.transpose(vtr, (2, 1, 0))[:batch]         # (B, ne, ne)
-    v_im = jnp.transpose(vti, (2, 1, 0))[:batch]
-    order = jnp.argsort(-w, axis=-1)
-    w = jnp.take_along_axis(w, order, -1)[..., :n]
-    ocols = order[..., None, :]
-    v_re = jnp.take_along_axis(v_re, jnp.broadcast_to(ocols, v_re.shape), -1)
-    v_im = jnp.take_along_axis(v_im, jnp.broadcast_to(ocols, v_im.shape), -1)
-    w = w.reshape(*batch_shape, n)
-    v = CArr(v_re[..., :n, :n].reshape(*batch_shape, n, n),
-             v_im[..., :n, :n].reshape(*batch_shape, n, n))
-    return w, v
 
 
 # ---------------------------------------------------------------------------

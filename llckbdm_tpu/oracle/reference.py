@@ -271,20 +271,35 @@ def line_errors(est: np.ndarray, ref: np.ndarray) -> np.ndarray:
 
 
 def match_lines(est: np.ndarray, truth: np.ndarray) -> np.ndarray:
-    """Greedy nearest-frequency matching of estimated lines to ground truth.
+    """Optimal (Hungarian) frequency matching of estimated lines to truth.
 
     Returns an index array ``sel`` such that est[sel[k]] corresponds to
     truth[k].  Used by tests to compare matched lines only (SURVEY.md §7
-    'hard parts' #3).
+    'hard parts' #3: matching must be assignment-optimal, not raw
+    eigen-order — greedy nearest-frequency can mis-pair dense or noisy
+    spectra where two truth lines share the same nearest estimate).
+
+    Cost: |f_est - f_truth| with a small relative T2-distance tie-breaker
+    (distinguishes co-resonant lines of different widths).  Falls back to
+    greedy if scipy is unavailable.
     """
-    est_f = est[:, 2].copy()
-    sel = np.full(len(truth), -1, dtype=int)
-    used = np.zeros(len(est), dtype=bool)
-    order = np.argsort(-truth[:, 0])  # match strong lines first
-    for k in order:
-        dist = np.abs(est_f - truth[k, 2])
-        dist[used] = np.inf
-        j = int(np.argmin(dist))
-        sel[k] = j
-        used[j] = True
-    return sel
+    df = np.abs(est[None, :, 2] - truth[:, None, 2])        # (T, E)
+    dt2 = np.abs(est[None, :, 1] - truth[:, None, 1]) \
+        / np.maximum(np.abs(truth[:, None, 1]), 1e-30)
+    cost = df + 1e-3 * np.median(df) * dt2 if len(est) else df
+    try:
+        from scipy.optimize import linear_sum_assignment
+        rows, cols = linear_sum_assignment(cost)
+        sel = np.full(len(truth), -1, dtype=int)
+        sel[rows] = cols
+        return sel
+    except ImportError:                       # pragma: no cover
+        sel = np.full(len(truth), -1, dtype=int)
+        used = np.zeros(len(est), dtype=bool)
+        for k in np.argsort(-truth[:, 0]):
+            dist = cost[k].copy()
+            dist[used] = np.inf
+            j = int(np.argmin(dist))
+            sel[k] = j
+            used[j] = True
+        return sel

@@ -40,15 +40,39 @@ from ..utils import df as D
 from ..utils.df import DF, DFC
 
 
+# All jitted entry points below are lru_cached on their static arguments:
+# a fresh jax.jit(functools.partial(...)) per call would RETRACE AND
+# RECOMPILE on every invocation (jit caches on callable identity) — the
+# round-3 scaling benchmark spent >10 min of CPU on exactly that.
+
+
+@functools.lru_cache(maxsize=64)
+def _fit_grid_jit(dwell: float, cfg: LlcKbdmConfig):
+    return jax.jit(functools.partial(llc_kbdm_fit, dwell=dwell, cfg=cfg))
+
+
 def fit_grid(c: CArr, dwell: float, cfg: LlcKbdmConfig):
     """Jitted LL-KBDM over a voxel batch c (..., N) on the local device."""
-    fit = jax.jit(functools.partial(llc_kbdm_fit, dwell=dwell, cfg=cfg))
-    return fit(c)
+    return _fit_grid_jit(dwell, cfg)(c)
 
 
 def _device_put_sharded(c: CArr, mesh: Mesh) -> CArr:
     sh = NamedSharding(mesh, P("data"))
     return CArr(jax.device_put(c.re, sh), jax.device_put(c.im, sh))
+
+
+@functools.lru_cache(maxsize=64)
+def _fit_grid_sharded_jit(dwell: float, cfg: LlcKbdmConfig, mesh: Mesh):
+    row = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        functools.partial(llc_kbdm_fit, dwell=dwell, cfg=cfg),
+        out_shardings=(
+            LineList(*([row] * 5)),
+            LineList(*([row] * 5)),
+            row,
+            ClusterStats(*([row] * 4)),
+        ),
+    )
 
 
 def fit_grid_sharded(c: CArr, dwell: float, cfg: LlcKbdmConfig, mesh: Mesh):
@@ -63,37 +87,12 @@ def fit_grid_sharded(c: CArr, dwell: float, cfg: LlcKbdmConfig, mesh: Mesh):
     if v % ndata:
         raise ValueError(f"voxel count {v} not divisible by data={ndata}")
     c = _device_put_sharded(c, mesh)
-    row = NamedSharding(mesh, P("data"))
-
-    fit = jax.jit(
-        functools.partial(llc_kbdm_fit, dwell=dwell, cfg=cfg),
-        out_shardings=(
-            LineList(*([row] * 5)),
-            LineList(*([row] * 5)),
-            row,
-            ClusterStats(*([row] * 4)),
-        ),
-    )
-    return fit(c)
+    return _fit_grid_sharded_jit(dwell, cfg, mesh)(c)
 
 
-def refine_grid_timesharded(c: DFC, lines: LineList, dwell: float,
-                            mesh: Mesh,
-                            cfg: RefineConfig = RefineConfig()) -> RefinedLines:
-    """Refine a sharded grid's line lists with the time axis split over
-    mesh['time'] and voxels over mesh['data'].
-
-    c     : DFC (V, N) double-float signals; N divisible by the 'time' axis.
-    lines : LineList (V, C) initial values (e.g. fit_grid_sharded output).
-    Returns RefinedLines (V, C), row-partitioned over 'data', replicated
-    over 'time'.
-    """
-    v, n = c.re.hi.shape
-    ntime = mesh.shape["time"]
-    if n % ntime:
-        raise ValueError(f"signal length {n} not divisible by time={ntime}")
-    chunk = n // ntime
-
+@functools.lru_cache(maxsize=64)
+def _refine_timesharded_jit(dwell: float, mesh: Mesh, cfg: RefineConfig,
+                            chunk: int):
     def local(c_loc: DFC, lines_loc: LineList) -> RefinedLines:
         t0 = chunk * jax.lax.axis_index("time")
         return refine_lines(c_loc, lines_loc, dwell, cfg,
@@ -114,7 +113,26 @@ def refine_grid_timesharded(c: DFC, lines: LineList, dwell: float,
     )
     fn = shard_map(local, mesh=mesh, in_specs=(spec_c, spec_lines),
                    out_specs=out_spec, check_vma=False)
-    return jax.jit(fn)(c, lines)
+    return jax.jit(fn)
+
+
+def refine_grid_timesharded(c: DFC, lines: LineList, dwell: float,
+                            mesh: Mesh,
+                            cfg: RefineConfig = RefineConfig()) -> RefinedLines:
+    """Refine a sharded grid's line lists with the time axis split over
+    mesh['time'] and voxels over mesh['data'].
+
+    c     : DFC (V, N) double-float signals; N divisible by the 'time' axis.
+    lines : LineList (V, C) initial values (e.g. fit_grid_sharded output).
+    Returns RefinedLines (V, C), row-partitioned over 'data', replicated
+    over 'time'.
+    """
+    v, n = c.re.hi.shape
+    ntime = mesh.shape["time"]
+    if n % ntime:
+        raise ValueError(f"signal length {n} not divisible by time={ntime}")
+    chunk = n // ntime
+    return _refine_timesharded_jit(dwell, mesh, cfg, chunk)(c, lines)
 
 
 def fit_and_refine_grid(c_np: np.ndarray, dwell: float,

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.cplx import CArr
-from ..ops.dbscan import compact_labels, dbscan, masked_median
+from ..ops.dbscan import compact_labels, dbscan, dbscan_1d, masked_median
 from ..signals import LineList
 from ..solver.kbdm import KbdmConfig, kbdm_sweep
 
@@ -111,7 +111,14 @@ def llc_kbdm_fit(c: CArr, dwell: float, cfg: LlcKbdmConfig):
     valid = flat.mask > 0.5
 
     def one_voxel(feats_v, valid_v, pool_v):
-        labels = dbscan(feats_v, valid_v, cfg.eps, cfg.min_samples)
+        if cfg.damping_weight == 0.0:
+            # 1-D feature space (frequency only): the sorted O(n log n)
+            # DBSCAN avoids the O(n^2) adjacency matrix + propagation
+            # while_loop (~35 ms of HBM traffic per launch at bench shapes)
+            labels = dbscan_1d(feats_v[..., 0], valid_v,
+                               cfg.eps, cfg.min_samples)
+        else:
+            labels = dbscan(feats_v, valid_v, cfg.eps, cfg.min_samples)
         member, counts = compact_labels(labels, cfg.max_clusters)
         cons, stats = _consolidate_one(pool_v, member)
         return cons, counts, stats

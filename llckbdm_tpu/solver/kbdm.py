@@ -86,19 +86,21 @@ def _poles_to_lines(mu: CArr, keep, c: CArr, dwell: float, n: int,
     log_abs = jnp.log(jnp.maximum(mu_abs, 1e-30))
     t2 = -dt / jnp.where(jnp.abs(log_abs) > 1e-12, log_abs, -1e-12)
 
-    # Amplitude solve EXCLUDES growing poles (|mu|^n > e): their geometric
-    # Gram entries reach e^(2*mu_log_max) ~ 1e26, and with the shared f32
-    # Gram + rcond truncation they swamp the genuine poles' directions —
-    # measured: a noisy signal returned amplitude 0 for EVERY line.  Such
-    # poles have T2 < 0 and are dropped by the final filter regardless
-    # (the f64 oracle's lstsq keeps them; it can afford to).
-    valid = valid & (mu_abs <= np.float32(np.exp(1.0 / n)))
+    # The amplitude solve EXCLUDES growing poles (|mu|^n > e): their
+    # geometric Gram entries reach e^(2*mu_log_max) ~ 1e26, and with the
+    # shared f32 Gram + rcond truncation they swamp the genuine poles'
+    # directions — measured: a noisy signal returned amplitude 0 for EVERY
+    # line.  Excluded-but-otherwise-valid poles keep their (f, T2 < 0) and
+    # get amplitude 0, so a user running with t2_min < 0 still sees them
+    # (the f64 oracle's lstsq solves for their amplitude too; it can afford
+    # to).  With the default t2_min = 0 they are filtered out either way.
+    amp_valid = valid & (mu_abs <= np.float32(np.exp(1.0 / n)))
 
     # --- Vandermonde least squares ------------------------------------
     # Gram: G[j,l] = sum_n (conj(mu_j) mu_l)^n = (1 - z^N) / (1 - z)
     z = cmul(conj(CArr(mu.re[..., :, None], mu.im[..., :, None])),
              CArr(mu.re[..., None, :], mu.im[..., None, :]))  # (..., p, p)
-    zsafe = cwhere(valid[..., :, None] & valid[..., None, :], z,
+    zsafe = cwhere(amp_valid[..., :, None] & amp_valid[..., None, :], z,
                    CArr(jnp.zeros_like(z.re), jnp.zeros_like(z.re)))
     zn = cpow_int(cwhere(cabs(zsafe) > 1e-30, zsafe,
                          CArr(jnp.ones_like(z.re), jnp.zeros_like(z.re))),
@@ -116,7 +118,7 @@ def _poles_to_lines(mu: CArr, keep, c: CArr, dwell: float, n: int,
     g_n = CArr(jnp.full_like(z.re, np.float32(n)), jnp.zeros_like(z.re))
     g = cwhere(near1, g_n, g_ratio)
     # masked slots: identity row/col so the solve stays well-posed
-    pair_valid = valid[..., :, None] & valid[..., None, :]
+    pair_valid = amp_valid[..., :, None] & amp_valid[..., None, :]
     eye = jnp.eye(mu.re.shape[-1], dtype=mu.re.dtype)
     g = cwhere(pair_valid, g, CArr(jnp.broadcast_to(eye, g.re.shape),
                                    jnp.zeros_like(g.re)))
@@ -132,8 +134,8 @@ def _poles_to_lines(mu: CArr, keep, c: CArr, dwell: float, n: int,
     ks = jnp.arange(chunk, dtype=mu.re.dtype)
     # base: (..., p, chunk) = mu^k for k in [0, chunk);  masked slots use mu=1
     # to keep log() finite (their contribution is zeroed below).
-    mu_for_pow = CArr(jnp.where(valid, mu.re, 1.0),
-                      jnp.where(valid, mu.im, 0.0))
+    mu_for_pow = CArr(jnp.where(amp_valid, mu.re, 1.0),
+                      jnp.where(amp_valid, mu.im, 0.0))
     base = cpow_int(CArr(mu_for_pow.re[..., :, None],
                          mu_for_pow.im[..., :, None]),
                     ks[(None,) * mu.re.ndim + (slice(None),)])
@@ -154,8 +156,8 @@ def _poles_to_lines(mu: CArr, keep, c: CArr, dwell: float, n: int,
 
     carry0 = CArr(jnp.ones_like(mu.re), jnp.zeros_like(mu.re))
     _, (brs, bis) = jax.lax.scan(body, carry0, jnp.arange(n_chunks))
-    b = CArr(brs.sum(0) * jnp.where(valid, 1.0, 0.0),
-             bis.sum(0) * jnp.where(valid, 1.0, 0.0))
+    b = CArr(brs.sum(0) * jnp.where(amp_valid, 1.0, 0.0),
+             bis.sum(0) * jnp.where(amp_valid, 1.0, 0.0))
 
     d = hermitian_solve(g, b, rcond=cfg.gram_rcond, sweeps=cfg.eigh_sweeps)
     amp = cabs(d)
@@ -173,12 +175,19 @@ def _poles_to_lines(mu: CArr, keep, c: CArr, dwell: float, n: int,
 
 
 def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
-               cfg: KbdmConfig) -> LineList:
+               cfg: KbdmConfig, with_diag: bool = False):
     """Batched multi-m KBDM: c (..., N) -> LineList (..., S, p).
 
     One batched launch for the whole sweep: the m_max Hankel operator is
     materialized once; each sweep entry applies row/col masks selecting its
     leading m x m block.
+
+    with_diag=True additionally returns a diagnostics dict with
+    ``eig_offdiag_rel`` (..., S): the final Jacobi off-diagonal Frobenius
+    norm of each PRODUCTION reduced matrix, relative to its own Frobenius
+    norm — the convergence counter surfaced by bench.py (SURVEY.md §5
+    metrics row), measured on real pipeline matrices rather than random
+    dense inputs.
     """
     m_values = tuple(int(m) for m in m_values)
     m_max = max(m_values)
@@ -234,7 +243,12 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
                      cscale_cols(ut, CArr(s_isq, jnp.zeros_like(s_isq))))
     ut = CArr(0.5 * (ut.re + jnp.swapaxes(ut.re, -1, -2)),
               0.5 * (ut.im + jnp.swapaxes(ut.im, -1, -2)))
-    mu_s = jacobi.eig_cs(ut, sweeps=cfg.eig_sweeps)
+    if with_diag:
+        mu_s, eig_resid = jacobi.eig_cs_resid(ut, sweeps=cfg.eig_sweeps)
+        fro = jnp.sqrt(jnp.sum(ut.re * ut.re + ut.im * ut.im, axis=(-1, -2)))
+        offdiag_rel = eig_resid / jnp.maximum(fro, 1e-30)   # (S, ...)
+    else:
+        mu_s = jacobi.eig_cs(ut, sweeps=cfg.eig_sweeps)
 
     # move sweep axis next-to-last: (S, ..., p) -> (..., S, p)
     perm = tuple(range(1, batch_ndim + 1)) + (0, batch_ndim + 1)
@@ -242,7 +256,11 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
     keep_s = jnp.transpose(keep_s, perm)
 
     c_b = CArr(c.re[..., None, :], c.im[..., None, :])  # broadcast over S
-    return _poles_to_lines(mu_s, keep_s, c_b, dwell, n, cfg)
+    lines = _poles_to_lines(mu_s, keep_s, c_b, dwell, n, cfg)
+    if with_diag:
+        sperm = tuple(range(1, batch_ndim + 1)) + (0,)
+        return lines, {"eig_offdiag_rel": jnp.transpose(offdiag_rel, sperm)}
+    return lines
 
 
 def kbdm_fit(c: CArr, dwell: float, m: int, cfg: KbdmConfig) -> LineList:

@@ -199,27 +199,30 @@ def df_sqrt(a: DF) -> DF:
 def df_sum(a: DF, axis=None):
     """Sum-reduce a DF array along an axis.
 
-    Pairwise (tree) reduction: log2(n) fully-vectorized df_add halving steps
-    — no sequential O(n) chain, and pairwise error growth O(log n) on top of
-    df's 2^-48.
+    ONE variadic ``lax.reduce`` over the (hi, lo) pair with :func:`df_add`
+    as the combiner: XLA applies the combiner in an implementation-defined
+    (tree-like) order, so error growth is O(log n) on top of df's 2^-48 —
+    same numerics class as an explicit pairwise tree.
+
+    Why not an explicit halving loop: the former slice-based pairwise
+    reduction, rooted over a deep df producer chain (e.g. dfc_powers ->
+    dfc_mul), drove XLA:CPU compilation superlinear — a (4, 8, 256) df
+    model-sum took >9 MINUTES to compile (optimization barriers did not
+    help; the pass walking the sliced producer re-expands it per consumer).
+    The single Reduce op compiles in ~1 s and lowers on the TPU backend
+    (variadic reduce is core HLO).
     """
     if axis is None:
         a = DF(a.hi.ravel(), a.lo.ravel())
         axis = 0
-    hi = jnp.moveaxis(a.hi, axis, -1)
-    lo = jnp.moveaxis(a.lo, axis, -1)
-    n = hi.shape[-1]
-    # pad to a power of two with zeros
-    n2 = 1 << max(0, (n - 1)).bit_length()
-    if n2 != n:
-        pad = [(0, 0)] * (hi.ndim - 1) + [(0, n2 - n)]
-        hi, lo = jnp.pad(hi, pad), jnp.pad(lo, pad)
-    x = DF(hi, lo)
-    while x.hi.shape[-1] > 1:
-        half = x.hi.shape[-1] // 2
-        x = df_add(DF(x.hi[..., :half], x.lo[..., :half]),
-                   DF(x.hi[..., half:], x.lo[..., half:]))
-    return DF(x.hi[..., 0], x.lo[..., 0])
+
+    def comb(x, y):
+        s = df_add(DF(x[0], x[1]), DF(y[0], y[1]))
+        return (s.hi, s.lo)
+
+    zero = (jnp.float32(0.0), jnp.float32(0.0))
+    hi, lo = jax.lax.reduce((a.hi, a.lo), zero, comb, (axis % a.hi.ndim,))
+    return DF(hi, lo)
 
 
 def df_where(mask, a: DF, b: DF) -> DF:

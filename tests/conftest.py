@@ -27,6 +27,13 @@ import jax  # noqa: E402
 if not RUN_ON_TPU:
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated (~10 min of
+# XLA:CPU work in round 3); cached executables cut repeat runs to the
+# actual numerics.  Safe to share — keyed on HLO + compile options.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

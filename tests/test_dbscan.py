@@ -85,3 +85,60 @@ def test_masked_median_matches_numpy():
     np.testing.assert_allclose(got[0], np.median(vals[:7]), rtol=1e-6)
     np.testing.assert_allclose(got[1], np.median(vals[7:15]), rtol=1e-6)
     assert got[2] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# 1-D sorted fast path (the pipeline default: damping_weight == 0)
+# ---------------------------------------------------------------------------
+
+from llckbdm_tpu.ops.dbscan import dbscan_1d  # noqa: E402
+
+
+def _compare_1d(x, valid, eps, min_samples):
+    x32 = jnp.asarray(x, jnp.float32)
+    got = np.asarray(dbscan_1d(x32, jnp.asarray(valid), eps, min_samples))
+    # vs sklearn on the valid points
+    ref = DBSCAN(eps=eps, min_samples=min_samples).fit(
+        np.asarray(x)[valid, None]).labels_
+    full_ref = np.full(len(x), -1)
+    full_ref[valid] = ref
+    np.testing.assert_array_equal(got == -1, full_ref == -1)
+    assert _partition(got) == _partition(full_ref)
+    # vs the general O(n^2) kernel: EXACTLY equal labels (both use the
+    # min-root-index convention, for cores and borders alike)
+    feats2 = jnp.stack([x32, jnp.zeros_like(x32)], axis=-1)
+    gen = np.asarray(dbscan(feats2, jnp.asarray(valid), eps, min_samples))
+    np.testing.assert_array_equal(got, gen)
+
+
+def test_dbscan_1d_lines_match_sklearn_and_general():
+    rng = np.random.default_rng(3)
+    x = np.concatenate([
+        -0.06 + 0.001 * rng.standard_normal(30),   # dense cluster
+        0.0075 + 0.0008 * rng.standard_normal(25),  # dense cluster
+        rng.uniform(-0.1, 0.1, 40),                 # scattered junk
+    ])
+    valid = np.ones(len(x), bool)
+    valid[90:] = False
+    _compare_1d(x, valid, eps=2e-3, min_samples=10)
+
+
+def test_dbscan_1d_chain_and_borders():
+    # a chain of points eps apart (one cluster through transitivity) plus
+    # border points hanging off both ends
+    x = np.concatenate([np.arange(20) * 0.9, [-1.0, 20 * 0.9 + 0.05]])
+    valid = np.ones(len(x), bool)
+    _compare_1d(x, valid, eps=1.0, min_samples=3)
+
+
+def test_dbscan_1d_all_noise_and_duplicates():
+    x = np.array([0.0, 0.0, 0.0, 5.0, 9.0, 9.0])
+    valid = np.ones(6, bool)
+    _compare_1d(x, valid, eps=0.5, min_samples=3)
+    # shuffled input (exercises the sort/scatter round trip)
+    rng = np.random.default_rng(5)
+    xs = np.concatenate([0.001 * rng.standard_normal(40),
+                         3.0 + 0.001 * rng.standard_normal(7),
+                         rng.uniform(5, 6, 10)])
+    perm = rng.permutation(len(xs))
+    _compare_1d(xs[perm], np.ones(len(xs), bool), eps=0.01, min_samples=5)

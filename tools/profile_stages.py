@@ -1,8 +1,18 @@
-"""Per-stage TPU timing decomposition of the north-star bench shapes.
+"""Per-stage TPU timing + roofline decomposition of the bench shapes.
 
-Times each pipeline stage in isolation (best of `reps`, block_until_ready)
-at the exact shapes bench.py produces, so kernel work can be attributed.
-Stages reflect the broadcast-sweep structure of solver.kbdm.kbdm_sweep.
+Times each pipeline stage in isolation (average of `reps`,
+block_until_ready) at the exact shapes bench.py produces, so kernel work
+can be attributed, and annotates each stage with a FLOP model and the
+implied fraction of the v5e unit peak ("speed-of-light" accounting,
+BASELINE.json:5).
+
+Peaks used (TPU v5e public numbers):
+  MXU  bf16            197 TFLOP/s
+  MXU  f32-via-bf16x6  ~33 TFLOP/s  (Precision.HIGHEST on f32 inputs — the
+                                     6-pass scheme; all matmuls here use it)
+  VPU  f32             ~ 4 TFLOP/s  (8x128 lanes x 4 ALUs x 2 flop (FMA)
+                                     x ~0.94 GHz)
+  HBM                  819 GB/s
 
 Usage: (from /root/repo)  python tools/profile_stages.py [--voxels 512]
 """
@@ -40,7 +50,14 @@ def _materialize(out):
     np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
-def timeit(name, fn, *args, reps=3):
+MXU_F32_PEAK = 33e12     # HIGHEST-precision f32 matmul (bf16x6 passes)
+VPU_PEAK = 4e12          # f32 elementwise/reduction
+HBM_BW = 819e9
+
+_rows = []
+
+
+def timeit(name, fn, *args, reps=3, flops=0.0, unit="", hbm_bytes=0.0):
     t0 = time.perf_counter()
     out = fn(*args)
     jax.block_until_ready(out)
@@ -55,7 +72,23 @@ def timeit(name, fn, *args, reps=3):
         jax.block_until_ready(out)
     _materialize(out)
     avg = (time.perf_counter() - t0) / reps
-    print(f"{name:44s} {avg*1e3:9.2f} ms   (compile {compile_s:.1f}s)")
+    extra = ""
+    if flops:
+        peak = MXU_F32_PEAK if unit == "MXU" else VPU_PEAK
+        gfs = flops / avg / 1e9
+        extra = f"  {gfs:8.1f} GF/s = {gfs * 1e9 / peak * 100:5.1f}% {unit}"
+    if hbm_bytes:
+        gbs = hbm_bytes / avg / 1e9
+        extra += f"  {gbs:6.1f} GB/s = {gbs * 1e9 / HBM_BW * 100:5.1f}% HBM"
+    print(f"{name:44s} {avg*1e3:9.2f} ms   (compile {compile_s:5.1f}s)"
+          f"{extra}", flush=True)
+    _rows.append({"stage": name, "ms": round(avg * 1e3, 2),
+                  "gflops": round(flops / 1e9, 1) if flops else None,
+                  "unit": unit or None,
+                  "pct_peak": round(flops / avg /
+                                    (MXU_F32_PEAK if unit == "MXU"
+                                     else VPU_PEAK) * 100, 1)
+                  if flops else None})
     return out
 
 
@@ -93,7 +126,8 @@ def main():
     timeit("kbdm_sweep",
            jax.jit(lambda x: kbdm_sweep(x, dwell, cfg.m_values, kc)), c)
     h0 = timeit("hankel_matrices m=256",
-                jax.jit(lambda x: hankel_matrices(x, m_max)), c)
+                jax.jit(lambda x: hankel_matrices(x, m_max)), c,
+                hbm_bytes=v * m_max * m_max * 2 * 4)
 
     # one masked operator apply at sweep shapes: (V,m,m) @ (S,V,m,k)
     masks = np.zeros((s, m_max), np.float32)
@@ -108,38 +142,82 @@ def main():
         y = cmatmul(h, xm)
         return CArr(y.re * mk, y.im * mk)
 
+    # FLOP models (f32 real flops; complex MAC = 8 real flops)
+    f_apply = 8.0 * m_max * m_max * k * s * v
     y = timeit("apply_op (V,m,m)@(S,V,m,k)",
-               jax.jit(lambda h, x: apply_op(h, x)), h0, x0)
+               jax.jit(lambda h, x: apply_op(h, x)), h0, x0,
+               flops=f_apply, unit="MXU")
+    # orth_basis = 2 passes x (Gram k^2 m + q@rinv m k^2) + small kernel
+    f_orth = 2.0 * (8 * k * k * m_max + 8 * m_max * k * k) * s * v
     q = timeit("orth_basis (S,V,m,k) [CholQR2]",
-               jax.jit(lambda yy: orth_basis(yy, sweeps=kc.eigh_sweeps)), y)
+               jax.jit(lambda yy: orth_basis(yy, sweeps=kc.eigh_sweeps)), y,
+               flops=f_orth, unit="MXU")
+
+    # cholqr_rinv kernel alone (the sequential part of orth_basis)
+    from llckbdm_tpu.ops import pallas_linalg
+    g_small = cmatmul(chermitian(q), q)
+    g_small = CArr(0.5 * (g_small.re + jnp.swapaxes(g_small.re, -1, -2)),
+                   0.5 * (g_small.im - jnp.swapaxes(g_small.im, -1, -2)))
+    if jax.devices()[0].platform == "tpu":
+        timeit("  cholqr_rinv kernel (S,V,k,k)",
+               jax.jit(lambda g: pallas_linalg.cholqr_rinv(
+                   g, 1e-6 * jnp.ones(g.re.shape[:-2], g.re.dtype))),
+               g_small)
 
     msml = cmatmul(chermitian(q), apply_op(h0, conj(q)))
     msml = CArr(0.5 * (msml.re + jnp.swapaxes(msml.re, -1, -2)),
                 0.5 * (msml.im + jnp.swapaxes(msml.im, -1, -2)))
+    # gram_svd one-sided Jacobi: pairs = sweeps*(k-1)*(k/2); ~72k flops/pair
+    pairs = kc.eigh_sweeps * (k - 1) * (k // 2)
+    f_takagi = float(s * v) * pairs * 72 * k
     timeit("takagi_small (S,V,k,k) [gram_svd]",
-           jax.jit(lambda x: takagi_small(x, sweeps=kc.eigh_sweeps)), msml)
+           jax.jit(lambda x: takagi_small(x, sweeps=kc.eigh_sweeps)), msml,
+           flops=f_takagi, unit="VPU")
 
     ur = jax.random.normal(jax.random.PRNGKey(2), (s, v, p, p))
     ui = jax.random.normal(jax.random.PRNGKey(3), (s, v, p, p))
     ut = CArr(0.5 * (ur + jnp.swapaxes(ur, -1, -2)),
               0.5 * (ui + jnp.swapaxes(ui, -1, -2)))
+    ep = kc.eig_sweeps * (p - 1) * (p // 2)
+    f_eig = float(s * v) * ep * (4 * p * 7 + 140)
     timeit("jacobi.eig_cs (S,V,p,p)",
-           jax.jit(lambda a: jacobi.eig_cs(a, sweeps=kc.eig_sweeps)), ut)
+           jax.jit(lambda a: jacobi.eig_cs(a, sweeps=kc.eig_sweeps)), ut,
+           flops=f_eig, unit="VPU")
 
     mur = 0.9 * jax.random.normal(jax.random.PRNGKey(4), (v, s, p))
     mui = 0.1 * jax.random.normal(jax.random.PRNGKey(5), (v, s, p))
     keep = jnp.ones((v, s, p), bool)
     cb = CArr(c.re[:, None, :], c.im[:, None, :])
+    # RHS power-scan + p x p Gram + Cholesky solve (all VPU-dominated)
+    nch = (n + kc.rhs_chunk - 1) // kc.rhs_chunk
+    f_lines = float(s * v) * (nch * kc.rhs_chunk * p * 14
+                              + 60 * p * p + 8 * p ** 3 / 3)
     timeit("_poles_to_lines (V,S,p)",
            jax.jit(lambda m_, k_, c_: _poles_to_lines(m_, k_, c_, dwell, n, kc)),
-           mur if False else CArr(mur, mui), keep, cb)
+           CArr(mur, mui), keep, cb, flops=f_lines, unit="VPU")
 
-    cons, _, _, _ = jax.jit(lambda x: llc_kbdm_fit(x, dwell, cfg))(c)
+    fit = jax.jit(lambda x: llc_kbdm_fit(x, dwell, cfg))
+    cons, _, _, _ = fit(c)
+    t_sw = [r for r in _rows if r["stage"] == "kbdm_sweep"][0]["ms"]
+    t_full = [r for r in _rows if r["stage"].startswith("llc_kbdm")][0]["ms"]
+    print(f"{'cluster+consolidate (derived)':44s} {t_full - t_sw:9.2f} ms")
+
     cdf = D.dfc_from_np(sigs)
-    timeit("refine_lines iters=3 (V,C=32)",
+    cc = cons.amplitude.shape[-1]
+    iters = 3
+    f_ref = float(v) * iters * (12 * 2 * cc * cc * n + 16 * cc * n
+                                + 9 * 36 * cc * n + 8 * (2 * cc) ** 3 / 3)
+    timeit(f"refine_lines iters={iters} (V,C={cc})",
            jax.jit(lambda sg, l: refine_lines(sg, l, dwell,
-                                              RefineConfig(iters=3))),
-           cdf, cons)
+                                              RefineConfig(iters=iters))),
+           cdf, cons, flops=f_ref, unit="MXU")
+
+    import json
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PROFILE.json"), "w") as f:
+        json.dump({"device": jax.devices()[0].device_kind,
+                   "voxels": v, "rows": _rows}, f, indent=1)
+    print("# wrote PROFILE.json")
 
 
 if __name__ == "__main__":

@@ -72,8 +72,8 @@ def make_grid(v, n, dwell):
     return sigs
 
 
-def dp_scaling(v=32, n=256, dwell=5e-4):
-    cfg = LlcKbdmConfig(m_values=(64, 80, 96, 112), eps=5e-4,
+def dp_scaling(v=16, n=256, dwell=5e-4):
+    cfg = LlcKbdmConfig(m_values=(64, 80, 96), eps=5e-4,
                         min_samples=4, max_clusters=8,
                         kbdm=KbdmConfig(p=8))
     sigs = make_grid(v, n, dwell)
@@ -82,37 +82,40 @@ def dp_scaling(v=32, n=256, dwell=5e-4):
     print("| devices | time (ms) | solves/s | wall vs 1-dev | collectives |")
     print("|---|---|---|---|---|")
     t1 = None
+    rows = []
     for nd in (1, 2, 4, 8):
         mesh = make_mesh({"data": nd}, devices=jax.devices()[:nd])
         # collective count in the compiled DP program: the voxel-DP path
         # must be embarrassingly parallel (zero inter-device collectives),
         # which is the property that DOES transfer to a real pod — virtual
         # CPU devices share physical cores, so wall-clock here is expected
-        # ~flat and says nothing about real-chip scaling.
-        import functools as ft
-        import jax as _jax
+        # ~flat and says nothing about real-chip scaling.  ONE compile per
+        # device count: the compiled object is inspected AND timed.
         from llckbdm_tpu.parallel import grid as _grid
         cc = _grid._device_put_sharded(c, mesh)
-        row = NamedSharding(mesh, P("data"))
-        from llckbdm_tpu.pipeline.llckbdm import ClusterStats, llc_kbdm_fit
-        lowered = _jax.jit(
-            ft.partial(llc_kbdm_fit, dwell=dwell, cfg=cfg),
-            out_shardings=(LineList(*([row] * 5)), LineList(*([row] * 5)),
-                           row, ClusterStats(*([row] * 4)))).lower(cc)
-        hlo = lowered.compile().as_text()
+        compiled = _grid._fit_grid_sharded_jit(dwell, cfg, mesh) \
+            .lower(cc).compile()
+        hlo = compiled.as_text()
         ncoll = sum(hlo.count(op) for op in
                     ("all-reduce", "all-gather", "reduce-scatter",
                      "collective-permute", "all-to-all"))
-        t = timeit(lambda x: fit_grid_sharded(x, dwell, cfg, mesh), c)
+        t = timeit(lambda x: compiled(x), cc)
         t1 = t1 or t
-        print(f"| {nd} | {t*1e3:8.1f} | {v/t:8.1f} | {t/t1:.2f}x | {ncoll} |")
+        print(f"| {nd} | {t*1e3:8.1f} | {v/t:8.1f} | {t/t1:.2f}x | {ncoll} |",
+              flush=True)
+        rows.append({"devices": nd, "ms": round(t * 1e3, 1),
+                     "solves_per_s": round(v / t, 1), "collectives": ncoll})
+    return rows
 
 
-def overlap_probe(v=32, n=512, dwell=5e-4):
+def overlap_probe(v=16, n=256, dwell=5e-4):
     """Time-sharded refine WITH psum vs identical compute WITHOUT it."""
     cfg = LlcKbdmConfig(m_values=(64, 96, 128), eps=5e-4, min_samples=2,
                         max_clusters=8, kbdm=KbdmConfig(p=8))
-    rcfg = RefineConfig(iters=3)
+    # 2 GN iterations: enough to contain the inter-iteration psum structure
+    # being probed, while keeping the (unrolled-loop) CPU compile tractable
+    # — the round-3 probe at iters=3 never finished a 10-min budget.
+    rcfg = RefineConfig(iters=2)
     sigs = make_grid(v, n, dwell)
     mesh = make_mesh({"data": 4, "time": 2})
     c32 = CArr(jnp.asarray(sigs.real, jnp.float32),
@@ -152,15 +155,28 @@ def overlap_probe(v=32, n=512, dwell=5e-4):
     t_nopsum = timeit(fn, cdf, cons)
 
     hidden = max(0.0, 1.0 - (t_psum - t_nopsum) / t_psum)
-    print(f"\ntime-sharded refine (4x2 mesh, V={v}, N={n}, iters=3):")
+    print(f"\ntime-sharded refine (4x2 mesh, V={v}, N={n}, "
+          f"iters={rcfg.iters}):")
     print(f"  with psum exchange : {t_psum*1e3:8.2f} ms")
     print(f"  compute only       : {t_nopsum*1e3:8.2f} ms")
     print(f"  un-hidden collective cost: {(t_psum-t_nopsum)*1e3:.2f} ms "
           f"({(t_psum-t_nopsum)/t_psum*100:.1f}% of total; "
           f"overlap/hide factor {hidden*100:.1f}%)")
+    return {"with_psum_ms": round(t_psum * 1e3, 2),
+            "compute_only_ms": round(t_nopsum * 1e3, 2),
+            "unhidden_ms": round((t_psum - t_nopsum) * 1e3, 2),
+            "hidden_fraction": round(hidden, 3)}
 
 
 if __name__ == "__main__":
+    import json
     print(f"# devices: {len(jax.devices())} x {jax.devices()[0].platform}")
-    dp_scaling()
-    overlap_probe()
+    dp = dp_scaling()
+    ov = overlap_probe()
+    out = {"backend": jax.devices()[0].platform,
+           "n_devices": len(jax.devices()),
+           "dp_scaling": dp, "overlap_probe": ov}
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALING.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("# wrote SCALING.json")
