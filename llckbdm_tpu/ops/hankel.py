@@ -22,6 +22,13 @@ def hankel_matrices(c: CArr, m: int, shift: int = 0) -> CArr:
     """Materialize the m x m Hankel matrix H[i, j] = c[i + j + shift].
 
     c has shape (..., n) with n >= 2m (+ shift).  Returns (..., m, m).
+
+    Lowered as ONE elementwise gather from the (..., n) signal.  Profiling
+    note (v5e, V=512, m=256): ~8 ms real device time per launch — an
+    m-way static-slice+stack variant ran only ~5 ms faster but cost 224 s
+    of XLA compile, a bad trade.  (Isolated timings of this op through the
+    axon tunnel read ~38 ms, of which ~30 ms is the per-dispatch RPC floor
+    — see tools/profile_stages.py.)
     """
     idx = jnp.arange(m)[:, None] + jnp.arange(m)[None, :] + shift
     return CArr(c.re[..., idx], c.im[..., idx])

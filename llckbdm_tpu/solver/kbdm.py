@@ -31,11 +31,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cplx import (CArr, cabs, cangle, cmatmul, cmatmul_cr, chermitian,
-                        cmul, conj, cpow_int, cscale_cols, cscale_rows, cwhere)
+from ..ops.cplx import (CArr, cabs, cangle, cmatmul, cmul, conj, cpow_int,
+                        cwhere)
 from ..ops import jacobi
 from ..ops.hankel import hankel_matrices
-from ..ops.linalg import orth_basis, takagi_small, hermitian_solve
+from ..ops.linalg import lowner_orth, takagi_small, hermitian_solve
 from ..signals import LineList
 
 
@@ -195,6 +195,7 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
     if n < 2 * m_max:
         raise ValueError(f"need N >= 2*m_max: N={n}, m_max={m_max}")
     p, k = cfg.p, cfg.p + cfg.oversample
+    ns = len(m_values)
 
     h0 = hankel_matrices(c, m_max)            # (..., m_max, m_max)
     h1 = hankel_matrices(c, m_max, shift=1)
@@ -205,61 +206,108 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
     omega = jax.random.normal(jax.random.PRNGKey(cfg.seed), (m_max, k),
                               dtype=c.re.dtype)
 
-    # The sweep axis S is a leading BROADCAST axis, not a vmap: a vmap here
-    # would trace the Pallas eigensolver/orth kernels once per sweep entry
-    # (S separate Mosaic compilations, measured ~8 min at S=35); with plain
-    # broadcasting every kernel is traced exactly once over the flattened
-    # (S * batch) lane axis.  Shapes below: (S, ..., m_max, k).
-    batch_ndim = c.re.ndim - 1
-    mk = jnp.asarray(masks).reshape(
-        (len(m_values),) + (1,) * batch_ndim + (m_max, 1))
+    # LAYOUT: sweep blocks live at (..., m_max, S, k) — S and k are
+    # adjacent trailing axes, NOT a leading broadcast axis.  Two reasons:
+    # * every Hankel apply reshapes to (..., m_max, S*k) and runs as ONE
+    #   matmul per voxel, so h is read from HBM once — the former
+    #   (S, ..., m, k) layout broadcast h over S and re-read its 537 MB
+    #   S=35 times per apply (in-context ablation: the subspace block was
+    #   156 ms of the 272 ms sweep, tools/ablate_sweep.py);
+    # * the (..., S) batch reaches every Pallas kernel flattened, so each
+    #   kernel is still traced/compiled exactly once (the round-2 lesson:
+    #   a vmap over S compiled S Mosaic kernels, ~8 min).
+    mk = jnp.asarray(masks.T)[:, :, None]     # (m_max, S, 1)
 
     def apply_op(h, x):
+        """(..., m, m) Hankel apply to x (..., m, S, j) -> (..., m, S, j).
+
+        x may omit the batch dims (e.g. the (m, S, k) sketch)."""
         xm = CArr(x.re * mk, x.im * mk)
-        y = cmatmul(h, xm)                    # (..., m, m) @ (S, ..., m, k)
+        j = xm.re.shape[-1]
+        flat = CArr(xm.re.reshape(*xm.re.shape[:-2], ns * j),
+                    xm.im.reshape(*xm.im.shape[:-2], ns * j))
+        y = cmatmul(h, flat)                  # (..., m, m) @ (..., m, S*j)
+        y = CArr(y.re.reshape(*y.re.shape[:-1], ns, j),
+                 y.im.reshape(*y.im.shape[:-1], ns, j))
         return CArr(y.re * mk, y.im * mk)
 
-    y = apply_op(h0, CArr(omega, jnp.zeros_like(omega)))
+    # complex einsums over the (..., m, S, j) layout (HIGHEST precision)
+    def gram_sk(a: CArr, b: CArr) -> CArr:
+        """a^H b contracting m: (..., m, S, j1), (..., m, S, j2) ->
+        (..., S, j1, j2)."""
+        re = _es('...msk,...msl->...skl', a.re, b.re) + \
+             _es('...msk,...msl->...skl', a.im, b.im)
+        im = _es('...msk,...msl->...skl', a.re, b.im) - \
+             _es('...msk,...msl->...skl', a.im, b.re)
+        return CArr(re, im)
+
+    def mix_sk(a: CArr, w: CArr) -> CArr:
+        """a @ w per sweep entry: (..., m, S, j1) @ (..., S, j1, j2) ->
+        (..., m, S, j2)."""
+        re = _es('...msk,...skl->...msl', a.re, w.re) - \
+             _es('...msk,...skl->...msl', a.im, w.im)
+        im = _es('...msk,...skl->...msl', a.re, w.im) + \
+             _es('...msk,...skl->...msl', a.im, w.re)
+        return CArr(re, im)
+
+    def orth_sk(y: CArr, passes: int) -> CArr:
+        """Orthonormalize the k columns of every (m, S)-block.
+
+        TPU: shifted CholeskyQR (ops.pallas_linalg.cholqr_rinv); one pass
+        per intermediate subspace iteration (the basis only needs a
+        bounded condition number there — Rayleigh-Ritz re-truncates), two
+        for the final basis.  CPU: Lowner orthogonalization."""
+        if not jacobi._tpu_backend():
+            ym = CArr(jnp.moveaxis(y.re, -2, -3), jnp.moveaxis(y.im, -2, -3))
+            q, _ = lowner_orth(ym, sweeps=cfg.eigh_sweeps)
+            return CArr(jnp.moveaxis(q.re, -3, -2), jnp.moveaxis(q.im, -3, -2))
+        from ..ops import pallas_linalg
+        q = y
+        for _ in range(passes):
+            g = gram_sk(q, q)
+            g = CArr(0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
+                     0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)))
+            shift = 3e-6 * jnp.mean(
+                jnp.abs(jnp.diagonal(g.re, axis1=-2, axis2=-1)), axis=-1)
+            rinv = pallas_linalg.cholqr_rinv(g, shift)
+            q = mix_sk(q, rinv)
+        return q
+
+    x0 = CArr(omega[:, None, :] * mk, jnp.zeros((m_max, ns, k), c.re.dtype))
+    y = apply_op(h0, x0)                      # (..., m, S, k)
     for _ in range(cfg.subspace_iters):
-        q = orth_basis(y, sweeps=cfg.eigh_sweeps)
+        q = orth_sk(y, passes=1)
         y = apply_op(h0, conj(q))
-    q = orth_basis(y, sweeps=cfg.eigh_sweeps)
+    q = orth_sk(y, passes=2)
 
     # Rayleigh-Ritz Takagi on the k x k projected Hankel
-    m_small = cmatmul(chermitian(q), apply_op(h0, conj(q)))
+    m_small = gram_sk(q, apply_op(h0, conj(q)))      # (..., S, k, k)
     m_small = CArr(0.5 * (m_small.re + jnp.swapaxes(m_small.re, -1, -2)),
                    0.5 * (m_small.im + jnp.swapaxes(m_small.im, -1, -2)))
     w, sig = takagi_small(m_small, sweeps=cfg.eigh_sweeps)
-    u = cmatmul(q, w)                          # (S, ..., m_max, k)
-    u_p = u[..., :, :p]
-    sig_p = sig[..., :p]
+    u_p = mix_sk(q, CArr(w.re[..., :p], w.im[..., :p]))  # (..., m, S, p)
+    sig_p = sig[..., :p]                                  # (..., S, p)
     keep_s = sig_p > sig[..., :1] * cfg.rank_tol
     s_isq = jnp.where(keep_s, jax.lax.rsqrt(jnp.maximum(sig_p, 1e-30)), 0.0)
 
     # reduced matrix  U~ = S^-1/2 U_p^H U1 conj(U_p) S^-1/2
     t = apply_op(h1, conj(u_p))
-    ut = cmatmul(chermitian(u_p), t)
-    ut = cscale_rows(CArr(s_isq, jnp.zeros_like(s_isq)),
-                     cscale_cols(ut, CArr(s_isq, jnp.zeros_like(s_isq))))
+    ut = gram_sk(u_p, t)                                  # (..., S, p, p)
+    ut = CArr(ut.re * s_isq[..., :, None] * s_isq[..., None, :],
+              ut.im * s_isq[..., :, None] * s_isq[..., None, :])
     ut = CArr(0.5 * (ut.re + jnp.swapaxes(ut.re, -1, -2)),
               0.5 * (ut.im + jnp.swapaxes(ut.im, -1, -2)))
     if with_diag:
         mu_s, eig_resid = jacobi.eig_cs_resid(ut, sweeps=cfg.eig_sweeps)
         fro = jnp.sqrt(jnp.sum(ut.re * ut.re + ut.im * ut.im, axis=(-1, -2)))
-        offdiag_rel = eig_resid / jnp.maximum(fro, 1e-30)   # (S, ...)
+        offdiag_rel = eig_resid / jnp.maximum(fro, 1e-30)   # (..., S)
     else:
-        mu_s = jacobi.eig_cs(ut, sweeps=cfg.eig_sweeps)
-
-    # move sweep axis next-to-last: (S, ..., p) -> (..., S, p)
-    perm = tuple(range(1, batch_ndim + 1)) + (0, batch_ndim + 1)
-    mu_s = CArr(jnp.transpose(mu_s.re, perm), jnp.transpose(mu_s.im, perm))
-    keep_s = jnp.transpose(keep_s, perm)
+        mu_s = jacobi.eig_cs(ut, sweeps=cfg.eig_sweeps)     # (..., S, p)
 
     c_b = CArr(c.re[..., None, :], c.im[..., None, :])  # broadcast over S
     lines = _poles_to_lines(mu_s, keep_s, c_b, dwell, n, cfg)
     if with_diag:
-        sperm = tuple(range(1, batch_ndim + 1)) + (0,)
-        return lines, {"eig_offdiag_rel": jnp.transpose(offdiag_rel, sperm)}
+        return lines, {"eig_offdiag_rel": offdiag_rel}
     return lines
 
 

@@ -29,9 +29,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from llckbdm_tpu.ops.cplx import CArr, cmatmul, chermitian, conj
+import functools
+
+from llckbdm_tpu.ops.cplx import CArr, cmatmul
 from llckbdm_tpu.ops import jacobi
-from llckbdm_tpu.ops.linalg import orth_basis, takagi_small, hermitian_solve
+from llckbdm_tpu.ops.linalg import takagi_small
+
+_es = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 from llckbdm_tpu.oracle.reference import sample_signal
 from llckbdm_tpu.pipeline.llckbdm import LlcKbdmConfig, llc_kbdm_fit
 from llckbdm_tpu.solver.kbdm import KbdmConfig, kbdm_sweep, _poles_to_lines
@@ -55,6 +59,29 @@ VPU_PEAK = 4e12          # f32 elementwise/reduction
 HBM_BW = 819e9
 
 _rows = []
+_floor_s = 0.0           # per-dispatch RPC floor (measured in main)
+
+
+def measure_dispatch_floor(reps=10) -> float:
+    """The axon tunnel costs ~30 ms per dispatch+sync round trip (measured:
+    a trivial jitted x+1 on (8,128) takes the same wall time as a 100-op
+    chain).  Isolated stage timings must subtract it or every stage reads
+    as ~30 ms too slow."""
+    global _floor_s
+    x = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda x: x + 1.0)
+    out = f(x)
+    jax.block_until_ready(out)
+    _materialize(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f(out)
+        jax.block_until_ready(out)
+    _materialize(out)
+    _floor_s = (time.perf_counter() - t0) / reps
+    print(f"# dispatch floor: {_floor_s*1e3:.1f} ms "
+          f"(subtracted from every stage below)")
+    return _floor_s
 
 
 def timeit(name, fn, *args, reps=3, flops=0.0, unit="", hbm_bytes=0.0):
@@ -71,7 +98,7 @@ def timeit(name, fn, *args, reps=3, flops=0.0, unit="", hbm_bytes=0.0):
         out = fn(*args)
         jax.block_until_ready(out)
     _materialize(out)
-    avg = (time.perf_counter() - t0) / reps
+    avg = max((time.perf_counter() - t0) / reps - _floor_s, 1e-6)
     extra = ""
     if flops:
         peak = MXU_F32_PEAK if unit == "MXU" else VPU_PEAK
@@ -120,6 +147,7 @@ def main():
              jnp.asarray(sigs.imag, jnp.float32))
 
     print(f"# device={jax.devices()[0].device_kind} V={v} S={s} p={p} k={k}")
+    measure_dispatch_floor()
 
     timeit("llc_kbdm_fit (full f32)",
            jax.jit(lambda x: llc_kbdm_fit(x, dwell, cfg)), c)
@@ -129,48 +157,52 @@ def main():
                 jax.jit(lambda x: hankel_matrices(x, m_max)), c,
                 hbm_bytes=v * m_max * m_max * 2 * 4)
 
-    # one masked operator apply at sweep shapes: (V,m,m) @ (S,V,m,k)
+    # one masked operator apply at sweep shapes ((..., m, S, k) layout,
+    # flattened to one (V,m,m) @ (V,m,S*k) matmul — see solver/kbdm.py)
     masks = np.zeros((s, m_max), np.float32)
     for i, m in enumerate(cfg.m_values):
         masks[i, :m] = 1.0
-    mk = jnp.asarray(masks).reshape(s, 1, m_max, 1)
-    x0 = CArr(jax.random.normal(jax.random.PRNGKey(0), (s, v, m_max, k)),
-              jax.random.normal(jax.random.PRNGKey(1), (s, v, m_max, k)))
+    mk = jnp.asarray(masks.T)[:, :, None]
+    x0 = CArr(jax.random.normal(jax.random.PRNGKey(0), (v, m_max, s, k)),
+              jax.random.normal(jax.random.PRNGKey(1), (v, m_max, s, k)))
 
     def apply_op(h, x):
         xm = CArr(x.re * mk, x.im * mk)
-        y = cmatmul(h, xm)
+        j = xm.re.shape[-1]
+        flat = CArr(xm.re.reshape(*xm.re.shape[:-2], s * j),
+                    xm.im.reshape(*xm.im.shape[:-2], s * j))
+        y = cmatmul(h, flat)
+        y = CArr(y.re.reshape(*y.re.shape[:-1], s, j),
+                 y.im.reshape(*y.im.shape[:-1], s, j))
         return CArr(y.re * mk, y.im * mk)
 
     # FLOP models (f32 real flops; complex MAC = 8 real flops)
     f_apply = 8.0 * m_max * m_max * k * s * v
-    y = timeit("apply_op (V,m,m)@(S,V,m,k)",
+    y = timeit("apply_op (V,m,m)@(V,m,S*k)",
                jax.jit(lambda h, x: apply_op(h, x)), h0, x0,
                flops=f_apply, unit="MXU")
-    # orth_basis = 2 passes x (Gram k^2 m + q@rinv m k^2) + small kernel
-    f_orth = 2.0 * (8 * k * k * m_max + 8 * m_max * k * k) * s * v
-    q = timeit("orth_basis (S,V,m,k) [CholQR2]",
-               jax.jit(lambda yy: orth_basis(yy, sweeps=kc.eigh_sweeps)), y,
-               flops=f_orth, unit="MXU")
 
-    # cholqr_rinv kernel alone (the sequential part of orth_basis)
+    # cholqr_rinv kernel alone (the sequential part of orth_sk)
     from llckbdm_tpu.ops import pallas_linalg
-    g_small = cmatmul(chermitian(q), q)
-    g_small = CArr(0.5 * (g_small.re + jnp.swapaxes(g_small.re, -1, -2)),
-                   0.5 * (g_small.im - jnp.swapaxes(g_small.im, -1, -2)))
+    gr = _es('vmsk,vmsl->vskl', y.re, y.re) + _es('vmsk,vmsl->vskl',
+                                                  y.im, y.im)
+    gi = _es('vmsk,vmsl->vskl', y.re, y.im) - _es('vmsk,vmsl->vskl',
+                                                  y.im, y.re)
+    g_small = CArr(0.5 * (gr + jnp.swapaxes(gr, -1, -2)),
+                   0.5 * (gi - jnp.swapaxes(gi, -1, -2)))
     if jax.devices()[0].platform == "tpu":
-        timeit("  cholqr_rinv kernel (S,V,k,k)",
+        timeit("  cholqr_rinv kernel (V,S,k,k)",
                jax.jit(lambda g: pallas_linalg.cholqr_rinv(
                    g, 1e-6 * jnp.ones(g.re.shape[:-2], g.re.dtype))),
                g_small)
 
-    msml = cmatmul(chermitian(q), apply_op(h0, conj(q)))
-    msml = CArr(0.5 * (msml.re + jnp.swapaxes(msml.re, -1, -2)),
-                0.5 * (msml.im + jnp.swapaxes(msml.im, -1, -2)))
+    # takagi timing input: Hermitian rather than complex-symmetric, but the
+    # kernel's op count depends only on shape/sweeps — fine for timing
+    msml = g_small
     # gram_svd one-sided Jacobi: pairs = sweeps*(k-1)*(k/2); ~72k flops/pair
     pairs = kc.eigh_sweeps * (k - 1) * (k // 2)
     f_takagi = float(s * v) * pairs * 72 * k
-    timeit("takagi_small (S,V,k,k) [gram_svd]",
+    timeit("takagi_small (V,S,k,k) [gram_svd]",
            jax.jit(lambda x: takagi_small(x, sweeps=kc.eigh_sweeps)), msml,
            flops=f_takagi, unit="VPU")
 
