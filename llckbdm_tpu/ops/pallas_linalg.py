@@ -208,30 +208,34 @@ def _chol_inplace(sr, si, shift, k: int):
 
     Entries below the diagonal are garbage afterwards (never read).
     shift : (B,) added to the diagonal first.
+
+    The trailing-submatrix elimination is ONE masked rank-1 update of the
+    whole (k, k, B) block per pivot — k full-block VPU ops total — instead
+    of the per-row inner loop (k^2 small sequential steps), which measured
+    ~12-15 ms per call at sweep shapes and dominated the whole subspace
+    iteration (tools/ablate_sweep.py).
     """
-    def add_diag(l, carry):
-        sr[l, l, :] = sr[l, l, :] + shift
-        return carry
-    jax.lax.fori_loop(0, k, add_diag, 0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (k, k, 1), 1)
+    eye = jnp.where(rows == cols, 1.0, 0.0).astype(sr.dtype)
+    sr[:] = sr[:] + eye * shift[None, :]
+    rowpos = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
 
     def step(i, carry):
         d = jnp.maximum(sr[i, i, :], 1e-30)
         dinv = jax.lax.rsqrt(d)
-        ri_r = sr[i, :, :] * dinv
+        ri_r = sr[i, :, :] * dinv                      # (k, B) = R[i, :]
         ri_i = si[i, :, :] * dinv
         sr[i, :, :] = ri_r
         si[i, :, :] = ri_i
-
-        def inner(r, c2):
-            @pl.when(r > i)
-            def _():
-                lr = sr[i, r, :]
-                li = si[i, r, :]
-                # row_r -= conj(R[i, r]) * R[i, :]
-                sr[r, :, :] = sr[r, :, :] - (lr * ri_r + li * ri_i)
-                si[r, :, :] = si[r, :, :] - (lr * ri_i - li * ri_r)
-            return c2
-        jax.lax.fori_loop(0, k, inner, 0)
+        # rows r > i:  row_r -= conj(R[i, r]) * R[i, :]
+        below = jnp.where(rowpos > i, 1.0, 0.0).astype(sr.dtype)
+        cr = ri_r[:, None, :]                          # coef per row r
+        ci = ri_i[:, None, :]
+        sr[:, :, :] = sr[:, :, :] - below * (cr * ri_r[None, :, :]
+                                             + ci * ri_i[None, :, :])
+        si[:, :, :] = si[:, :, :] - below * (cr * ri_i[None, :, :]
+                                             - ci * ri_r[None, :, :])
         return carry
     jax.lax.fori_loop(0, k, step, 0)
 
@@ -244,25 +248,22 @@ def _cholqr_kernel(g_re_ref, g_im_ref, shift_ref, xr_ref, xi_ref, sr, si, *,
 
     # upper triangular inverse X = R^{-1}:
     #   X[i, :] = (e_i - sum_{p>i} R[i, p] X[p, :]) / R[i, i]
+    # The p-sum is ONE masked full-block multiply + sublane reduction per
+    # step (vs a k-step inner loop; see _chol_inplace note).
     xr_ref[:] = jnp.zeros_like(xr_ref)
     xi_ref[:] = jnp.zeros_like(xi_ref)
     pos = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+    ppos = jax.lax.broadcasted_iota(jnp.int32, (k, 1, 1), 0)
 
     def step(ii, carry):
         i = k - 1 - ii
         dinv = 1.0 / jnp.maximum(sr[i, i, :], 1e-30)
-        acc_r = jnp.where(pos == i, 1.0, 0.0) * jnp.ones_like(xr_ref[i, :, :])
-        acc_i = jnp.zeros_like(acc_r)
-
-        def inner(p, acc):
-            ar, ai = acc
-            rr_, ri_ = sr[i, p, :], si[i, p, :]
-            m = jnp.where(p > i, 1.0, 0.0)
-            xp_r, xp_i = xr_ref[p, :, :], xi_ref[p, :, :]
-            ar = ar - m * (rr_ * xp_r - ri_ * xp_i)
-            ai = ai - m * (rr_ * xp_i + ri_ * xp_r)
-            return ar, ai
-        acc_r, acc_i = jax.lax.fori_loop(0, k, inner, (acc_r, acc_i))
+        below = jnp.where(ppos > i, 1.0, 0.0).astype(xr_ref.dtype)
+        cr = sr[i, :, :][:, None, :] * below           # R[i, p] per row p
+        ci = si[i, :, :][:, None, :] * below
+        acc_r = jnp.where(pos == i, 1.0, 0.0).astype(xr_ref.dtype) \
+            - jnp.sum(cr * xr_ref[:, :, :] - ci * xi_ref[:, :, :], axis=0)
+        acc_i = -jnp.sum(cr * xi_ref[:, :, :] + ci * xr_ref[:, :, :], axis=0)
         xr_ref[i, :, :] = acc_r * dinv
         xi_ref[i, :, :] = acc_i * dinv
         return carry
@@ -315,21 +316,20 @@ def _chol_solve_kernel(g_re_ref, g_im_ref, br_ref, bi_ref, shift_ref,
     yr[:] = jnp.zeros_like(yr)
     yi[:] = jnp.zeros_like(yi)
 
+    # Substitutions: each step's p-sum is ONE masked (k, B) multiply +
+    # sublane reduction (vs a k-step inner loop; see _chol_inplace note).
+    ppos = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+
     # forward: R^H y = b  (R^H lower, diag real):
     #   y[i] = (b[i] - sum_{p<i} conj(R[p, i]) y[p]) / R[i, i]
     def fwd(i, carry):
-        acc_r, acc_i = br_ref[i, :], bi_ref[i, :]
-
-        def inner(p, acc):
-            ar, ai = acc
-            m = jnp.where(p < i, 1.0, 0.0)
-            rr_, ri_ = sr[p, i, :], si[p, i, :]   # R[p, i]
-            yp_r, yp_i = yr[p, :], yi[p, :]
-            # acc -= conj(R[p,i]) * y[p]
-            ar = ar - m * (rr_ * yp_r + ri_ * yp_i)
-            ai = ai - m * (rr_ * yp_i - ri_ * yp_r)
-            return ar, ai
-        acc_r, acc_i = jax.lax.fori_loop(0, k, inner, (acc_r, acc_i))
+        above = jnp.where(ppos < i, 1.0, 0.0).astype(yr.dtype)
+        col_r = sr[:, i, :] * above                # R[p, i] per row p
+        col_i = si[:, i, :] * above
+        acc_r = br_ref[i, :] - jnp.sum(col_r * yr[:, :]
+                                       + col_i * yi[:, :], axis=0)
+        acc_i = bi_ref[i, :] - jnp.sum(col_r * yi[:, :]
+                                       - col_i * yr[:, :], axis=0)
         dinv = 1.0 / jnp.maximum(sr[i, i, :], 1e-30)
         yr[i, :] = acc_r * dinv
         yi[i, :] = acc_i * dinv
@@ -342,17 +342,13 @@ def _chol_solve_kernel(g_re_ref, g_im_ref, br_ref, bi_ref, shift_ref,
 
     def bwd(ii, carry):
         i = k - 1 - ii
-        acc_r, acc_i = yr[i, :], yi[i, :]
-
-        def inner(p, acc):
-            ar, ai = acc
-            m = jnp.where(p > i, 1.0, 0.0)
-            rr_, ri_ = sr[i, p, :], si[i, p, :]
-            xp_r, xp_i = xr_ref[p, :], xi_ref[p, :]
-            ar = ar - m * (rr_ * xp_r - ri_ * xp_i)
-            ai = ai - m * (rr_ * xp_i + ri_ * xp_r)
-            return ar, ai
-        acc_r, acc_i = jax.lax.fori_loop(0, k, inner, (acc_r, acc_i))
+        below = jnp.where(ppos > i, 1.0, 0.0).astype(xr_ref.dtype)
+        row_r = sr[i, :, :] * below                # (k, B) R[i, p] per p
+        row_i = si[i, :, :] * below
+        acc_r = yr[i, :] - jnp.sum(row_r * xr_ref[:, :]
+                                   - row_i * xi_ref[:, :], axis=0)
+        acc_i = yi[i, :] - jnp.sum(row_r * xi_ref[:, :]
+                                   + row_i * xr_ref[:, :], axis=0)
         dinv = 1.0 / jnp.maximum(sr[i, i, :], 1e-30)
         xr_ref[i, :] = acc_r * dinv
         xi_ref[i, :] = acc_i * dinv

@@ -63,16 +63,23 @@ def _device_put_sharded(c: CArr, mesh: Mesh) -> CArr:
 
 @functools.lru_cache(maxsize=64)
 def _fit_grid_sharded_jit(dwell: float, cfg: LlcKbdmConfig, mesh: Mesh):
-    row = NamedSharding(mesh, P("data"))
-    return jax.jit(
-        functools.partial(llc_kbdm_fit, dwell=dwell, cfg=cfg),
-        out_shardings=(
-            LineList(*([row] * 5)),
-            LineList(*([row] * 5)),
-            row,
-            ClusterStats(*([row] * 4)),
-        ),
-    )
+    # shard_map, not jit+out_shardings: under plain jit the SPMD
+    # partitioner implemented the per-voxel lax.top_k (cluster compaction)
+    # by ALL-GATHERING the whole batch's keys to every device and sorting
+    # them replicated — 3 collectives and duplicated work on what must be
+    # an embarrassingly parallel path.  shard_map makes every op local to
+    # its voxel rows by construction; the compiled program has zero
+    # collectives (asserted by tools/scaling_bench.py).
+    row = P("data")
+    spec_c = CArr(row, row)
+    out_spec = (LineList(*([row] * 5)), LineList(*([row] * 5)),
+                row, ClusterStats(*([row] * 4)))
+
+    def local(c_loc: CArr):
+        return llc_kbdm_fit(c_loc, dwell, cfg)
+
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=(spec_c,),
+                             out_specs=out_spec, check_vma=False))
 
 
 def fit_grid_sharded(c: CArr, dwell: float, cfg: LlcKbdmConfig, mesh: Mesh):

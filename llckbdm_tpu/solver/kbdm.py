@@ -60,6 +60,11 @@ class KbdmConfig:
     amp_min: float = 0.0         # keep lines with A >= amp_min
     gram_rcond: float = 1e-7     # pseudo-inverse cutoff in the Gram solve
     rhs_chunk: int = 128         # time-axis chunk for the V^H c scan
+    subspace_bf16: bool = True   # TPU: run the power-iteration phase in
+                                 # bf16 (the basis only seeds Rayleigh-Ritz,
+                                 # which runs f32-HIGHEST on a final f32
+                                 # CholeskyQR2 basis); halves the dominant
+                                 # HBM traffic.  Ignored on CPU.
     seed: int = 0                # subspace sketch seed
 
 
@@ -274,10 +279,62 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
         return q
 
     x0 = CArr(omega[:, None, :] * mk, jnp.zeros((m_max, ns, k), c.re.dtype))
-    y = apply_op(h0, x0)                      # (..., m, S, k)
-    for _ in range(cfg.subspace_iters):
-        q = orth_sk(y, passes=1)
-        y = apply_op(h0, conj(q))
+    use_bf16 = cfg.subspace_bf16 and jacobi._tpu_backend()
+    if use_bf16:
+        # Power-iteration phase at bf16 storage + single-pass MXU matmuls:
+        # the intermediate bases only have to SPAN the dominant subspace
+        # (orthonormalized to bounded condition each step); every quantity
+        # that determines the final answer — the last CholeskyQR2 basis and
+        # the Rayleigh-Ritz projections — is recomputed below in
+        # f32/HIGHEST from an upcast y.  Halves the sweep's dominant HBM
+        # traffic (x blocks are V*m*S*k*2 floats ~ 3.4 GB at bench shapes).
+        bf = jnp.bfloat16
+        mkb = mk.astype(bf)
+        h0b = CArr(h0.re.astype(bf), h0.im.astype(bf))
+
+        def apply_fast(x):
+            xm = CArr(x.re * mkb, x.im * mkb)
+            j = xm.re.shape[-1]
+            flat = CArr(xm.re.reshape(*xm.re.shape[:-2], ns * j),
+                        xm.im.reshape(*xm.im.shape[:-2], ns * j))
+            mmf = lambda a, b: jnp.matmul(a, b,
+                                          preferred_element_type=jnp.float32)
+            y = CArr(mmf(h0b.re, flat.re) - mmf(h0b.im, flat.im),
+                     mmf(h0b.re, flat.im) + mmf(h0b.im, flat.re))
+            y = CArr(y.re.reshape(*y.re.shape[:-1], ns, j).astype(bf),
+                     y.im.reshape(*y.im.shape[:-1], ns, j).astype(bf))
+            return CArr(y.re * mkb, y.im * mkb)
+
+        def orth_fast(y):
+            esf = functools.partial(jnp.einsum,
+                                    preferred_element_type=jnp.float32)
+            gre = esf('...msk,...msl->...skl', y.re, y.re) + \
+                esf('...msk,...msl->...skl', y.im, y.im)
+            gim = esf('...msk,...msl->...skl', y.re, y.im) - \
+                esf('...msk,...msl->...skl', y.im, y.re)
+            g = CArr(0.5 * (gre + jnp.swapaxes(gre, -1, -2)),
+                     0.5 * (gim - jnp.swapaxes(gim, -1, -2)))
+            # larger shift than the f32 path: bf16 Gram noise is ~1e-2 rel
+            shift = 1e-4 * jnp.mean(
+                jnp.abs(jnp.diagonal(g.re, axis1=-2, axis2=-1)), axis=-1)
+            from ..ops import pallas_linalg
+            rinv = pallas_linalg.cholqr_rinv(g, shift)
+            re = esf('...msk,...skl->...msl', y.re, rinv.re) - \
+                esf('...msk,...skl->...msl', y.im, rinv.im)
+            im = esf('...msk,...skl->...msl', y.re, rinv.im) + \
+                esf('...msk,...skl->...msl', y.im, rinv.re)
+            return CArr(re.astype(bf), im.astype(bf))
+
+        yb = apply_fast(CArr(x0.re.astype(bf), x0.im.astype(bf)))
+        for _ in range(cfg.subspace_iters):
+            qb = orth_fast(yb)
+            yb = apply_fast(conj(qb))
+        y = CArr(yb.re.astype(c.re.dtype), yb.im.astype(c.re.dtype))
+    else:
+        y = apply_op(h0, x0)                  # (..., m, S, k)
+        for _ in range(cfg.subspace_iters):
+            q = orth_sk(y, passes=1)
+            y = apply_op(h0, conj(q))
     q = orth_sk(y, passes=2)
 
     # Rayleigh-Ritz Takagi on the k x k projected Hankel
