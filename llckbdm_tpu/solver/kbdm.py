@@ -54,6 +54,15 @@ class KbdmConfig:
     subspace_iters: int = 2      # power iterations (each ~ one U0 U0^H apply)
     eigh_sweeps: int = 8         # Jacobi sweeps for Hermitian eigh
     eig_sweeps: int = 10         # Jacobi sweeps for complex-symmetric eig
+    final_orth_passes: int = 2   # CholeskyQR passes for the Rayleigh-Ritz
+                                 # basis (TPU path).  1 is ~20 ms faster
+                                 # at bench shapes and held the in-bench
+                                 # iters=6 gate (max err 1.7e-11), but the
+                                 # committed noiseless iters=3 chip gate
+                                 # (tests/test_tpu.py) failed with it —
+                                 # the f32 stage degrades just enough that
+                                 # 3 GN iterations no longer converge.  2
+                                 # keeps every committed gate green.
     rank_tol: float = 1e-6       # sigma truncation relative to sigma_max
     mu_log_max: float = 30.0     # clamp |mu|^N <= e^this (oracle parity)
     t2_min: float = 0.0          # keep lines with T2 > t2_min
@@ -180,7 +189,8 @@ def _poles_to_lines(mu: CArr, keep, c: CArr, dwell: float, n: int,
 
 
 def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
-               cfg: KbdmConfig, with_diag: bool = False):
+               cfg: KbdmConfig, with_diag: bool = False,
+               _stop: str | None = None):
     """Batched multi-m KBDM: c (..., N) -> LineList (..., S, p).
 
     One batched launch for the whole sweep: the m_max Hankel operator is
@@ -193,6 +203,11 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
     norm — the convergence counter surfaced by bench.py (SURVEY.md §5
     metrics row), measured on real pipeline matrices rather than random
     dense inputs.
+
+    _stop: PROFILING HOOK (tools/ablate_sweep.py) — return the named
+    intermediate ("hankel" | "basis" | "m_small" | "takagi" | "reduced" |
+    "eig") instead of the line list, so jitted prefixes of the REAL
+    computation can be timed without maintaining a drifting mirror.
     """
     m_values = tuple(int(m) for m in m_values)
     m_max = max(m_values)
@@ -204,6 +219,8 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
 
     h0 = hankel_matrices(c, m_max)            # (..., m_max, m_max)
     h1 = hankel_matrices(c, m_max, shift=1)
+    if _stop == "hankel":
+        return h0, h1
     masks = np.zeros((len(m_values), m_max), np.float32)
     for s, m in enumerate(m_values):
         masks[s, :m] = 1.0
@@ -335,13 +352,19 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
         for _ in range(cfg.subspace_iters):
             q = orth_sk(y, passes=1)
             y = apply_op(h0, conj(q))
-    q = orth_sk(y, passes=2)
+    q = orth_sk(y, passes=cfg.final_orth_passes)
+    if _stop == "basis":
+        return q
 
     # Rayleigh-Ritz Takagi on the k x k projected Hankel
     m_small = gram_sk(q, apply_op(h0, conj(q)))      # (..., S, k, k)
     m_small = CArr(0.5 * (m_small.re + jnp.swapaxes(m_small.re, -1, -2)),
                    0.5 * (m_small.im + jnp.swapaxes(m_small.im, -1, -2)))
+    if _stop == "m_small":
+        return m_small
     w, sig = takagi_small(m_small, sweeps=cfg.eigh_sweeps)
+    if _stop == "takagi":
+        return w, sig
     u_p = mix_sk(q, CArr(w.re[..., :p], w.im[..., :p]))  # (..., m, S, p)
     sig_p = sig[..., :p]                                  # (..., S, p)
     keep_s = sig_p > sig[..., :1] * cfg.rank_tol
@@ -354,12 +377,16 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
               ut.im * s_isq[..., :, None] * s_isq[..., None, :])
     ut = CArr(0.5 * (ut.re + jnp.swapaxes(ut.re, -1, -2)),
               0.5 * (ut.im + jnp.swapaxes(ut.im, -1, -2)))
+    if _stop == "reduced":
+        return ut
     if with_diag:
         mu_s, eig_resid = jacobi.eig_cs_resid(ut, sweeps=cfg.eig_sweeps)
         fro = jnp.sqrt(jnp.sum(ut.re * ut.re + ut.im * ut.im, axis=(-1, -2)))
         offdiag_rel = eig_resid / jnp.maximum(fro, 1e-30)   # (..., S)
     else:
         mu_s = jacobi.eig_cs(ut, sweeps=cfg.eig_sweeps)     # (..., S, p)
+    if _stop == "eig":
+        return mu_s
 
     c_b = CArr(c.re[..., None, :], c.im[..., None, :])  # broadcast over S
     lines = _poles_to_lines(mu_s, keep_s, c_b, dwell, n, cfg)
