@@ -210,15 +210,30 @@ def masked_median(values: jax.Array, member: jax.Array) -> jax.Array:
     values : (n,)  member : (n, C) 0/1.  Returns (C,) — numpy-median
     semantics (average of the two middle order statistics for even counts);
     0.0 for empty clusters.
+
+    Rank-selection, not sort: the within-cluster stable rank of every
+    element is ONE (n, n) 0/1 matmul against the membership matrix, and
+    the two middle order statistics are one-hot selected from it.  Exact:
+    0/1 values are exact in bf16 MXU passes and counts (<= n << 2^24) are
+    exact in the f32 accumulator.  On TPU a sort lowers to a multi-pass
+    bitonic network; the five medians of the consolidation stage measured
+    ~38 ms/launch sorted vs ~10 ms this way (V=512, n=560).
     """
     n, c = member.shape
-    big = jnp.float32(3.0e38)
-    masked = jnp.where(member.T > 0, values[None, :], big)   # (C, n)
-    srt = jnp.sort(masked, axis=1)
-    cnt = jnp.sum(member.T > 0, axis=1).astype(jnp.int32)    # (C,)
-    hi = jnp.clip(cnt // 2, 0, n - 1)
-    lo = jnp.clip((cnt - 1) // 2, 0, n - 1)
-    take = jnp.take_along_axis
-    med = 0.5 * (take(srt, lo[:, None], 1)[:, 0] +
-                 take(srt, hi[:, None], 1)[:, 0])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # "j orders strictly before i" with index tie-break (stable)
+    before = ((values[None, :] < values[:, None])
+              | ((values[None, :] == values[:, None])
+                 & (idx[None, :] < idx[:, None]))).astype(jnp.float32)
+    rank = jnp.matmul(before, member,
+                      preferred_element_type=jnp.float32)    # (n, C)
+    cnt = jnp.sum(member, axis=0)                            # (C,) float
+    lo = jnp.floor(0.5 * (cnt - 1.0))
+    hi = jnp.floor(0.5 * cnt)
+    sel_lo = member * (rank == lo[None, :])
+    sel_hi = member * (rank == hi[None, :])
+    med = 0.5 * (jnp.einsum("n,nc->c", values, sel_lo,
+                            precision=jax.lax.Precision.HIGHEST)
+                 + jnp.einsum("n,nc->c", values, sel_hi,
+                              precision=jax.lax.Precision.HIGHEST))
     return jnp.where(cnt > 0, med, 0.0)

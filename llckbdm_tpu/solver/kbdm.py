@@ -51,7 +51,15 @@ class KbdmConfig:
 
     p: int = 24                  # truncation rank / line capacity per run
     oversample: int = 8          # extra subspace dims for the randomized SVD
-    subspace_iters: int = 2      # power iterations (each ~ one U0 U0^H apply)
+    subspace_iters: int = 2      # power iterations (each ~ one U0 U0^H
+                                 # apply).  1 is ~18 ms/launch faster and
+                                 # passes every CPU gate and the iters=6
+                                 # in-bench gate (bench hit 1839 fits/s),
+                                 # but on the chip's bf16 power-iteration
+                                 # path it fails the committed noiseless
+                                 # iters=3 config-1 gate and the brain
+                                 # f32-stage line count — 2 keeps every
+                                 # committed gate green.
     eigh_sweeps: int = 8         # Jacobi sweeps for Hermitian eigh
     eig_sweeps: int = 10         # Jacobi sweeps for complex-symmetric eig
     final_orth_passes: int = 2   # CholeskyQR passes for the Rayleigh-Ritz
@@ -342,6 +350,12 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
                 esf('...msk,...skl->...msl', y.im, rinv.re)
             return CArr(re.astype(bf), im.astype(bf))
 
+        # NOTE on further bf16: running the FIRST pass of the final
+        # orthonormalization at bf16 (or dropping to one power iteration)
+        # measured ~5-18 ms faster and held the iters=6 in-bench gate, but
+        # each broke the committed noiseless iters=3 config-1 chip gate —
+        # that gate pins the f32-stage quality floor; the bf16 region must
+        # end here.
         yb = apply_fast(CArr(x0.re.astype(bf), x0.im.astype(bf)))
         for _ in range(cfg.subspace_iters):
             qb = orth_fast(yb)
@@ -352,6 +366,8 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
         for _ in range(cfg.subspace_iters):
             q = orth_sk(y, passes=1)
             y = apply_op(h0, conj(q))
+    if _stop == "powiter":
+        return y
     q = orth_sk(y, passes=cfg.final_orth_passes)
     if _stop == "basis":
         return q

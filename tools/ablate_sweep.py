@@ -65,8 +65,8 @@ def main():
           f"S={len(cfg.m_values)} p={kc.p} k={kc.p+kc.oversample} "
           f"subspace_bf16={kc.subspace_bf16}")
 
-    stages = ["hankel", "basis", "m_small", "takagi", "reduced", "eig",
-              None]
+    stages = ["hankel", "powiter", "basis", "m_small", "takagi", "reduced",
+              "eig", None]
     prev = 0.0
     for stop in stages:
         f = jax.jit(lambda x, stop=stop: scalarize(kbdm_sweep(
