@@ -21,9 +21,10 @@ Measures, on one chip:
    matrices relative to their Frobenius norm (kbdm_sweep with_diag=True),
    asserted < 1e-2 in-bench.
 
-Default voxel batch 512: measured saturation V=128 -> 789, V=256 -> ~820,
-V=512 -> 833, V=1024 -> (flat) fits/s on v5e; 512 is the knee (run with
---saturation to reproduce).
+Default voxel batch 1024: round-4 saturation (f32-only fits/s on v5e):
+V=128 -> 1618, 256 -> 1884, 512 -> 2121, 1024 -> 2283 — the curve keeps
+climbing to 1024, which is the knee (run with --saturation to reproduce;
+round-3 saturated at 512 with the older kernel structure).
 
 Prints ONE JSON line:
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., ...}
@@ -125,12 +126,21 @@ def eig_cs_flops(batch: int, p: int, sweeps: int) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--voxels", type=int, default=512)
+    ap.add_argument("--voxels", type=int, default=1024)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--gn-iters", type=int, default=6,
-                    help="GN refinement iterations; 6 is the count the "
-                         "committed tests prove meets the 1e-8 gate for "
-                         "noisy config-1 signals (tests/test_solver.py)")
+                    help="double-float GN refinement iterations; 6 is the "
+                         "count the committed tests prove meets the 1e-8 "
+                         "gate for noisy config-1 (tests/test_solver.py), "
+                         "and the gate is asserted in-bench anyway")
+    ap.add_argument("--gn-f32-iters", type=int, default=0,
+                    help="plain-f32 GN warm-start iterations before the "
+                         "double-float ones.  Measured perf-NEUTRAL on "
+                         "v5e (an f32 iteration costs the same ~5 ms as a "
+                         "df one: the Jacobian einsums + solve dominate, "
+                         "not the df arithmetic), so the default stays "
+                         "all-df; 3+3 provably meets the gate too "
+                         "(test_refine_f32_warmstart_hits_gate)")
     ap.add_argument("--refine-clusters", type=int, default=16,
                     help="cluster slots refined (consolidated slots are "
                          "count-sorted, so slicing keeps the largest; 16 "
@@ -164,7 +174,7 @@ def main() -> None:
     cfg = LlcKbdmConfig(m_values=tuple(range(120, 257, 4)),
                         eps=2e-4, min_samples=20, max_clusters=32,
                         kbdm=KbdmConfig(p=16))
-    rcfg = RefineConfig(iters=args.gn_iters)
+    rcfg = RefineConfig(iters=args.gn_iters, f32_iters=args.gn_f32_iters)
     s_sweep, p = len(cfg.m_values), cfg.kbdm.p
 
     sigs, truths = make_signals(v, n, dwell)
@@ -280,7 +290,8 @@ def main() -> None:
         "metric": "llckbdm_refined_voxel_fits_per_sec_per_chip",
         "value": round(fits_refined, 2),
         "unit": f"fits/s/chip (N=512, m-sweep 120..256:4, p=16, "
-                f"GN iters={args.gn_iters}, 1e-8 gate asserted)",
+                f"GN iters={args.gn_f32_iters}f32+{args.gn_iters}df, "
+                f"1e-8 gate asserted)",
         "vs_baseline": round(fits_refined / TARGET_PER_CHIP, 3),
         "fit_fits_per_sec": round(fits_f32, 2),
         "eigensolve_gflops": round(gflops, 2),

@@ -71,6 +71,13 @@ class RefinedLines(NamedTuple):
 @dataclass(frozen=True)
 class RefineConfig:
     iters: int = 3
+    f32_iters: int = 0           # cheap plain-f32 GN iterations run BEFORE
+                                 # the `iters` double-float ones: the early
+                                 # steps only need a descent direction (the
+                                 # df residual evaluation is what costs),
+                                 # and GN re-converges to the same fixed
+                                 # point from anywhere in the basin.
+                                 # Ignored in time-sharded mode.
     ridge: float = 1e-12         # relative Tikhonov in the GN solve
     max_step: float = 0.1        # clip on |delta z| per iteration
     eigh_sweeps: int = 10
@@ -81,6 +88,30 @@ def _dfc_bcast(x: DFC, shape) -> DFC:
                   jnp.broadcast_to(x.re.lo, shape)),
                DF(jnp.broadcast_to(x.im.hi, shape),
                   jnp.broadcast_to(x.im.lo, shape)))
+
+
+def _c32_powers(zr: jax.Array, zi: jax.Array, n: int):
+    """All powers z^0 .. z^(n-1) in PLAIN f32 along a new trailing axis
+    (the cheap counterpart of df.dfc_powers for the f32 warm-start
+    iterations; same binary decomposition, ~6x fewer flops/element)."""
+    nbits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    sq = [(zr, zi)]
+    for _ in range(nbits - 1):
+        ar, ai = sq[-1]
+        sq.append((ar * ar - ai * ai, 2.0 * ar * ai))
+    ks = np.arange(n)
+    out_r = out_i = None
+    for j in range(nbits):
+        bit = jnp.asarray((ks >> j) & 1, jnp.float32)
+        ar, ai = sq[j]
+        fr = jnp.where(bit > 0, ar[..., None], jnp.float32(1.0))
+        fi = bit * ai[..., None]
+        if out_r is None:
+            out_r, out_i = fr, fi
+        else:
+            out_r, out_i = (out_r * fr - out_i * fi,
+                            out_r * fi + out_i * fr)
+    return out_r, out_i
 
 
 def refine_lines(c: DFC, lines: LineList, dwell: float,
@@ -122,26 +153,43 @@ def refine_lines(c: DFC, lines: LineList, dwell: float,
         ns = (jnp.asarray(t_offset, jnp.int32)
               + jnp.arange(n, dtype=jnp.int32)).astype(jnp.float32)
 
-    def gn_step(state):
+    es0 = lambda *a: jnp.einsum(*a, precision=jax.lax.Precision.HIGHEST)
+
+    def gn_step(state, exact=True):
         z, d = state
-        # P[k, n] = z_k^n in df;  shapes (..., C, N)
-        p = D.dfc_powers(z, n)
-        if t_offset is not None:
-            # shift the local block to global time: P <- z^t0 * P
-            z0 = D.dfc_pow_traced(z, t_offset)
-            p = D.dfc_mul(_dfc_bcast(
-                DFC(DF(z0.re.hi[..., None], z0.re.lo[..., None]),
-                    DF(z0.im.hi[..., None], z0.im.lo[..., None])),
+        if exact:
+            # P[k, n] = z_k^n in df;  shapes (..., C, N)
+            p = D.dfc_powers(z, n)
+            if t_offset is not None:
+                # shift the local block to global time: P <- z^t0 * P
+                z0 = D.dfc_pow_traced(z, t_offset)
+                p = D.dfc_mul(_dfc_bcast(
+                    DFC(DF(z0.re.hi[..., None], z0.re.lo[..., None]),
+                        DF(z0.im.hi[..., None], z0.im.lo[..., None])),
+                    p.shape), p)
+            # model_n = sum_k d_k P[k, n]  (df reduce over C)
+            dkp = D.dfc_mul(_dfc_bcast(
+                DFC(DF(d.re.hi[..., None], d.re.lo[..., None]),
+                    DF(d.im.hi[..., None], d.im.lo[..., None])),
                 p.shape), p)
-        # model_n = sum_k d_k P[k, n]  (df reduce over C)
-        dkp = D.dfc_mul(_dfc_bcast(DFC(DF(d.re.hi[..., None], d.re.lo[..., None]),
-                                       DF(d.im.hi[..., None], d.im.lo[..., None])),
-                                   p.shape), p)
-        model = D.dfc_sum(dkp, axis=-2)                      # (..., N)
-        r = D.dfc_sub(c, model)                              # df residual
+            model = D.dfc_sum(dkp, axis=-2)                  # (..., N)
+            r = D.dfc_sub(c, model)                          # df residual
+            p32_re, p32_im = p.re.hi, p.im.hi
+            r_hi = (r.re.hi, r.im.hi)
+            r_lo = (r.re.lo, r.im.lo)
+        else:
+            # f32 warm-start iteration: plain-f32 powers, model, residual
+            # (the step only needs a descent direction; the exact df
+            # iterations after re-converge to the df fixed point)
+            p32_re, p32_im = _c32_powers(z.re.hi, z.im.hi, n)
+            mr = es0('...k,...kn->...n', d.re.hi, p32_re) - \
+                es0('...k,...kn->...n', d.im.hi, p32_im)
+            mi = es0('...k,...kn->...n', d.re.hi, p32_im) + \
+                es0('...k,...kn->...n', d.im.hi, p32_re)
+            r_hi = (c.re.hi - mr, c.im.hi - mi)
+            r_lo = None
 
         # f32 views for the Jacobian blocks J = [P; D], each (..., C, N)
-        p32_re, p32_im = p.re.hi, p.im.hi
         d32_re, d32_im = d.re.hi, d.im.hi
         # D[k, n] = d_k * n * z_k^(n-1) = (d_k / z_k) * n * P[k, n]
         zabs2 = z.re.hi**2 + z.im.hi**2
@@ -191,8 +239,11 @@ def refine_lines(c: DFC, lines: LineList, dwell: float,
                 out_im = es('...kn,...n->...k', j_r, ri) - \
                          es('...kn,...n->...k', j_i, rr)
                 return out_re, out_im
-            hi_re, hi_im = one(r.re.hi, r.im.hi)
-            lo_re, lo_im = one(r.re.lo, r.im.lo)
+            hi_re, hi_im = one(*r_hi)
+            if r_lo is None:                 # f32 warm-start iteration
+                zz = jnp.zeros_like(hi_re)
+                return DF(hi_re, zz), DF(hi_im, zz)
+            lo_re, lo_im = one(*r_lo)
             return DF(hi_re, lo_re), DF(hi_im, lo_im)
         rhsv_re, rhsv_im = rdot(p32_re, p32_im)
         rhsd_re, rhsd_im = rdot(dj_re, dj_im)
@@ -255,6 +306,10 @@ def refine_lines(c: DFC, lines: LineList, dwell: float,
     # unrolling compiles and runs at the expected cost.
     state = (z, d)
     gn_step_norm = jnp.zeros_like(lines.amplitude)
+    n_f32 = 0 if (axis_name is not None or t_offset is not None) \
+        else cfg.f32_iters
+    for _ in range(n_f32):
+        state, gn_step_norm = gn_step(state, exact=False)
     for _ in range(cfg.iters):
         state, gn_step_norm = gn_step(state)
     z, d = state

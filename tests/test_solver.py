@@ -127,6 +127,37 @@ def test_refined_hits_1e8_oracle_gate(five_peak_params, seed, noise):
     assert err.max() < 1e-8, f"max err {err.max():.3e}\n{err}"
 
 
+def test_refine_f32_warmstart_hits_gate(five_peak_params):
+    """f32 warm-start iterations + df polish reach the same 1e-8 gate as
+    all-df iterations: GN re-converges to the df fixed point from any
+    point in the basin, so the cheap f32 steps (RefineConfig.f32_iters)
+    cost nothing in final accuracy."""
+    dwell = 5e-4
+    rng = np.random.default_rng(1)
+    params = five_peak_params.copy()
+    params[:, 2] += rng.normal(scale=2.0, size=5)
+    sig = oracle.sample_signal(params, 512, dwell)
+    sig = sig + 1e-4 * (rng.standard_normal(512)
+                        + 1j * rng.standard_normal(512))
+    lines = lt.kbdm_fit(from_np(sig), dwell, 180, CFG)
+    # keep only the 5 genuine lines on both sides (see the noisy-gate test
+    # above for why: the 5-line noisy LS optimum is unique)
+    amp = np.asarray(lines.amplitude)
+    strong = (np.asarray(lines.mask) > 0.5) & (amp > 0.05 * amp.max())
+    lines = type(lines)(lines.amplitude, lines.t2, lines.frequency,
+                        lines.phase, jnp.asarray(strong, jnp.float32))
+    init = line_list_to_np(lines)
+    assert len(init) == 5
+    olines = oracle.refine(init, sig, dwell, iters=12)
+    olines = olines[oracle.match_lines(olines, params)]
+    ref = refine_lines(D.dfc_from_np(sig), lines, dwell,
+                       RefineConfig(iters=3, f32_iters=3))
+    est = refined_to_np(ref, dwell)
+    sel = oracle.match_lines(est, params)
+    err = oracle.line_errors(est[sel], olines)
+    assert err.max() < 1e-8, f"max err {err.max():.3e}\n{err}"
+
+
 def test_noisy_signal_recovers_nonzero_amplitudes(five_peak_signal,
                                                   five_peak_params):
     """Regression: complex noise creates junk poles with |mu| > 1 whose
