@@ -29,7 +29,8 @@ from .ops.cplx import CArr, from_np, to_np
 from .solver.kbdm import KbdmConfig, kbdm_fit, kbdm_sweep
 from .solver.refine import (RefineConfig, RefinedLines, refine_lines,
                             refined_to_np)
-from .pipeline.llckbdm import ClusterStats, LlcKbdmConfig, llc_kbdm_fit
+from .pipeline.llckbdm import (ClusterStats, LlcKbdmConfig, llc_kbdm,
+                               llc_kbdm_fit)
 from . import parallel
 
 __version__ = "0.2.0"
@@ -38,7 +39,7 @@ __all__ = [
     "CArr", "from_np", "to_np",
     "LineList", "line_list_from_np", "line_list_to_np", "sample_signal",
     "KbdmConfig", "kbdm_fit", "kbdm_sweep",
-    "ClusterStats", "LlcKbdmConfig", "llc_kbdm_fit",
+    "ClusterStats", "LlcKbdmConfig", "llc_kbdm", "llc_kbdm_fit",
     "RefineConfig", "RefinedLines", "refine_lines", "refined_to_np",
     "parallel",
     "__version__",

@@ -5,6 +5,7 @@ shapes, vmappable over voxel batches (BASELINE configs 3-5).
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import NamedTuple, Sequence
 
@@ -136,3 +137,58 @@ def llc_kbdm_fit(c: CArr, dwell: float, cfg: LlcKbdmConfig):
         fn = jax.vmap(fn)
     cons, counts, stats = fn(feats, valid, flat)
     return cons, flat, counts, stats
+
+
+@functools.lru_cache(maxsize=64)
+def _llc_kbdm_jit(dwell: float, cfg: LlcKbdmConfig):
+    return jax.jit(functools.partial(llc_kbdm_fit, dwell=dwell, cfg=cfg))
+
+
+def llc_kbdm(data: np.ndarray, dwell: float, m_range, p: int = 24,
+             eps: float = 2e-4, min_samples: int = 20, *,
+             damping_weight: float = 0.0, max_clusters: int = 32,
+             refine_iters: int = 0):
+    """NumPy-in / NumPy-out convenience entry point — signature parity
+    with the reference's ``llc_kbdm(data, dwell, m_range, p, eps,
+    min_samples)`` (oracle counterpart: oracle.reference.llc_kbdm).
+
+    data : (N,) or (V, N) complex time-domain signal(s).
+    refine_iters > 0 additionally runs the double-float Gauss-Newton
+    polish (the stage that meets the 1e-8 oracle gate).
+
+    Returns (consolidated, pooled, counts):
+      consolidated : (k, 4) [or list of per-voxel (k_v, 4)] float64 rows of
+                     (A, T2, f, phase), valid clusters only, sorted by f;
+      pooled       : same layout for ALL pooled sweep lines;
+      counts       : (C,) [or (V, C)] member counts per cluster slot.
+    """
+    from ..ops.cplx import CArr
+    from ..signals import line_list_to_np
+
+    data = np.asarray(data, np.complex128)
+    single = data.ndim == 1
+    batch = data[None] if single else data
+    cfg = LlcKbdmConfig(m_values=tuple(int(m) for m in m_range), eps=eps,
+                        min_samples=min_samples, max_clusters=max_clusters,
+                        damping_weight=damping_weight,
+                        kbdm=KbdmConfig(p=p))
+    c = CArr(jnp.asarray(batch.real, jnp.float32),
+             jnp.asarray(batch.imag, jnp.float32))
+    cons, pooled, counts, _stats = _llc_kbdm_jit(dwell, cfg)(c)
+
+    if refine_iters > 0:
+        from ..solver.refine import RefineConfig, refine_lines, refined_to_np
+        from ..utils import df as D
+        ref = refine_lines(D.dfc_from_np(batch), cons, dwell,
+                           RefineConfig(iters=refine_iters))
+        cons_np = [refined_to_np(jax.tree.map(lambda x: x[i], ref), dwell)
+                   for i in range(batch.shape[0])]
+    else:
+        cons_np = [line_list_to_np(jax.tree.map(lambda x: x[i], cons))
+                   for i in range(batch.shape[0])]
+    pooled_np = [line_list_to_np(jax.tree.map(lambda x: x[i], pooled))
+                 for i in range(batch.shape[0])]
+    counts_np = np.asarray(counts)
+    if single:
+        return cons_np[0], pooled_np[0], counts_np[0]
+    return cons_np, pooled_np, counts_np

@@ -71,3 +71,37 @@ def test_llc_kbdm_voxel_batch(five_peak_signal, five_peak_params):
                                rtol=1e-4, atol=1e-2)
     np.testing.assert_allclose(est1[sel1][:, 0], 0.5 * est0[sel0][:, 0],
                                rtol=2e-2)
+
+
+def test_llc_kbdm_numpy_convenience(five_peak_signal, five_peak_params):
+    """The numpy-in/numpy-out llc_kbdm wrapper (reference-signature parity:
+    data, dwell, m_range, p, eps, min_samples) recovers the 5 lines, both
+    single-signal and batched, and the refine_iters option polishes them."""
+    import llckbdm_tpu as lt
+    sig, dwell = five_peak_signal
+    m_range = range(120, 181, 10)
+
+    cons, pooled, counts = lt.llc_kbdm(sig, dwell, m_range, p=16,
+                                       eps=2e-4, min_samples=5)
+    assert cons.shape[1] == 4 and len(cons) >= 5
+    sel = oracle.match_lines(cons, five_peak_params)
+    np.testing.assert_allclose(cons[sel][:, 2], five_peak_params[:, 2],
+                               rtol=0, atol=1.0)   # f32 front-end, Hz
+    assert len(pooled) > len(cons)
+    assert counts.max() >= 5
+
+    # batched: rows must match per-voxel single calls
+    batch = np.stack([sig, sig])
+    cons_b, _, counts_b = lt.llc_kbdm(batch, dwell, m_range, p=16,
+                                      eps=2e-4, min_samples=5)
+    assert len(cons_b) == 2 and counts_b.shape[0] == 2
+    # batched and single runs compile to different XLA programs, so
+    # agreement is at f32 rounding level, not bitwise
+    np.testing.assert_allclose(cons_b[0], cons, rtol=1e-3, atol=1e-3)
+
+    # refined: hits f64-level agreement with the truth (noiseless signal)
+    ref, _, _ = lt.llc_kbdm(sig, dwell, m_range, p=16, eps=2e-4,
+                            min_samples=5, refine_iters=6)
+    rsel = oracle.match_lines(ref, five_peak_params)
+    err = oracle.line_errors(ref[rsel], five_peak_params)
+    assert err.max() < 1e-8, err
