@@ -1,6 +1,7 @@
 """Pallas TPU kernels replacing Hermitian eigh on the hot path.
 
-Measured on v5e (see BASELINE.md): per-pair COLUMN writes and in-kernel
+Measured on v5e (tools/bench_eigh_variants.py; roofline context in
+BASELINE.md "Per-stage roofline"): per-pair COLUMN writes and in-kernel
 transposes of the (n, n, lanes) layout relayout through sublanes and cost
 ~1 us each, which makes a two-sided Hermitian Jacobi kernel slower than the
 XLA scan it replaces.  All kernels here are therefore ROWS-ONLY — the only
