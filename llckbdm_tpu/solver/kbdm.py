@@ -261,39 +261,23 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
                  y.im.reshape(*y.im.shape[:-1], ns, j))
         return CArr(y.re * mk, y.im * mk)
 
-    # complex einsums over the TRANSPOSED (..., S, m, j) layout (HIGHEST
-    # precision).  Why transposed: on TPU a contraction over a MIDDLE axis
-    # of the storage layout makes XLA relayout the full operand with a
-    # hidden kLoop fusion PER EINSUM (verified in compiled HLO: two
-    # un-deduplicated relayout passes per gram); transposing ONCE and
-    # sharing the (..., S, m, j) tensor across a gram/mix group measured
-    # ~6 ms faster per pass in ISOLATION.  In the full jitted sweep the
-    # end-to-end effect is within run noise (XLA's scheduler overlaps the
-    # hidden relayouts), so the value of this form is explicit layout
-    # control, not a proven in-context win.
-    def to_t(a: CArr) -> CArr:
-        """(..., m, S, j) -> (..., S, m, j)."""
-        return CArr(jnp.swapaxes(a.re, -3, -2), jnp.swapaxes(a.im, -3, -2))
-
-    def from_t(a: CArr) -> CArr:
-        return CArr(jnp.swapaxes(a.re, -3, -2), jnp.swapaxes(a.im, -3, -2))
-
-    def gram_t(a: CArr, b: CArr) -> CArr:
-        """a^H b contracting m on the transposed layout:
-        (..., S, m, j1), (..., S, m, j2) -> (..., S, j1, j2)."""
-        re = _es('...mk,...ml->...kl', a.re, b.re) + \
-             _es('...mk,...ml->...kl', a.im, b.im)
-        im = _es('...mk,...ml->...kl', a.re, b.im) - \
-             _es('...mk,...ml->...kl', a.im, b.re)
+    # complex einsums over the (..., m, S, j) layout (HIGHEST precision)
+    def gram_sk(a: CArr, b: CArr) -> CArr:
+        """a^H b contracting m: (..., m, S, j1), (..., m, S, j2) ->
+        (..., S, j1, j2)."""
+        re = _es('...msk,...msl->...skl', a.re, b.re) + \
+             _es('...msk,...msl->...skl', a.im, b.im)
+        im = _es('...msk,...msl->...skl', a.re, b.im) - \
+             _es('...msk,...msl->...skl', a.im, b.re)
         return CArr(re, im)
 
-    def mix_t(a: CArr, w: CArr) -> CArr:
-        """a @ w on the transposed layout: (..., S, m, j1) @
-        (..., S, j1, j2) -> (..., S, m, j2)."""
-        re = _es('...mk,...kl->...ml', a.re, w.re) - \
-             _es('...mk,...kl->...ml', a.im, w.im)
-        im = _es('...mk,...kl->...ml', a.re, w.im) + \
-             _es('...mk,...kl->...ml', a.im, w.re)
+    def mix_sk(a: CArr, w: CArr) -> CArr:
+        """a @ w per sweep entry: (..., m, S, j1) @ (..., S, j1, j2) ->
+        (..., m, S, j2)."""
+        re = _es('...msk,...skl->...msl', a.re, w.re) - \
+             _es('...msk,...skl->...msl', a.im, w.im)
+        im = _es('...msk,...skl->...msl', a.re, w.im) + \
+             _es('...msk,...skl->...msl', a.im, w.re)
         return CArr(re, im)
 
     def orth_sk(y: CArr, passes: int) -> CArr:
@@ -308,16 +292,16 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
             q, _ = lowner_orth(ym, sweeps=cfg.eigh_sweeps)
             return CArr(jnp.moveaxis(q.re, -3, -2), jnp.moveaxis(q.im, -3, -2))
         from ..ops import pallas_linalg
-        qt = to_t(y)
+        q = y
         for _ in range(passes):
-            g = gram_t(qt, qt)
+            g = gram_sk(q, q)
             g = CArr(0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
                      0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)))
             shift = 3e-6 * jnp.mean(
                 jnp.abs(jnp.diagonal(g.re, axis1=-2, axis2=-1)), axis=-1)
             rinv = pallas_linalg.cholqr_rinv(g, shift)
-            qt = mix_t(qt, rinv)
-        return from_t(qt)
+            q = mix_sk(q, rinv)
+        return q
 
     x0 = CArr(omega[:, None, :] * mk, jnp.zeros((m_max, ns, k), c.re.dtype))
     use_bf16 = cfg.subspace_bf16 and jacobi._tpu_backend()
@@ -347,14 +331,12 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
             return CArr(y.re * mkb, y.im * mkb)
 
         def orth_fast(y):
-            # same shared-transpose trick as orth_sk (see gram_t note)
             esf = functools.partial(jnp.einsum,
                                     preferred_element_type=jnp.float32)
-            yt = to_t(y)
-            gre = esf('...mk,...ml->...kl', yt.re, yt.re) + \
-                esf('...mk,...ml->...kl', yt.im, yt.im)
-            gim = esf('...mk,...ml->...kl', yt.re, yt.im) - \
-                esf('...mk,...ml->...kl', yt.im, yt.re)
+            gre = esf('...msk,...msl->...skl', y.re, y.re) + \
+                esf('...msk,...msl->...skl', y.im, y.im)
+            gim = esf('...msk,...msl->...skl', y.re, y.im) - \
+                esf('...msk,...msl->...skl', y.im, y.re)
             g = CArr(0.5 * (gre + jnp.swapaxes(gre, -1, -2)),
                      0.5 * (gim - jnp.swapaxes(gim, -1, -2)))
             # larger shift than the f32 path: bf16 Gram noise is ~1e-2 rel
@@ -362,11 +344,11 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
                 jnp.abs(jnp.diagonal(g.re, axis1=-2, axis2=-1)), axis=-1)
             from ..ops import pallas_linalg
             rinv = pallas_linalg.cholqr_rinv(g, shift)
-            re = esf('...mk,...kl->...ml', yt.re, rinv.re) - \
-                esf('...mk,...kl->...ml', yt.im, rinv.im)
-            im = esf('...mk,...kl->...ml', yt.re, rinv.im) + \
-                esf('...mk,...kl->...ml', yt.im, rinv.re)
-            return from_t(CArr(re.astype(bf), im.astype(bf)))
+            re = esf('...msk,...skl->...msl', y.re, rinv.re) - \
+                esf('...msk,...skl->...msl', y.im, rinv.im)
+            im = esf('...msk,...skl->...msl', y.re, rinv.im) + \
+                esf('...msk,...skl->...msl', y.im, rinv.re)
+            return CArr(re.astype(bf), im.astype(bf))
 
         # NOTE on further bf16: running the FIRST pass of the final
         # orthonormalization at bf16 (or dropping to one power iteration)
@@ -390,10 +372,8 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
     if _stop == "basis":
         return q
 
-    # Rayleigh-Ritz Takagi on the k x k projected Hankel.  qt is
-    # transposed once and shared by the projection AND the basis mix.
-    qt = to_t(q)
-    m_small = gram_t(qt, to_t(apply_op(h0, conj(q))))    # (..., S, k, k)
+    # Rayleigh-Ritz Takagi on the k x k projected Hankel
+    m_small = gram_sk(q, apply_op(h0, conj(q)))      # (..., S, k, k)
     m_small = CArr(0.5 * (m_small.re + jnp.swapaxes(m_small.re, -1, -2)),
                    0.5 * (m_small.im + jnp.swapaxes(m_small.im, -1, -2)))
     if _stop == "m_small":
@@ -401,15 +381,14 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
     w, sig = takagi_small(m_small, sweeps=cfg.eigh_sweeps)
     if _stop == "takagi":
         return w, sig
-    u_pt = mix_t(qt, CArr(w.re[..., :p], w.im[..., :p]))  # (..., S, m, p)
-    u_p = from_t(u_pt)                                    # (..., m, S, p)
+    u_p = mix_sk(q, CArr(w.re[..., :p], w.im[..., :p]))  # (..., m, S, p)
     sig_p = sig[..., :p]                                  # (..., S, p)
     keep_s = sig_p > sig[..., :1] * cfg.rank_tol
     s_isq = jnp.where(keep_s, jax.lax.rsqrt(jnp.maximum(sig_p, 1e-30)), 0.0)
 
     # reduced matrix  U~ = S^-1/2 U_p^H U1 conj(U_p) S^-1/2
     t = apply_op(h1, conj(u_p))
-    ut = gram_t(u_pt, to_t(t))                            # (..., S, p, p)
+    ut = gram_sk(u_p, t)                                  # (..., S, p, p)
     ut = CArr(ut.re * s_isq[..., :, None] * s_isq[..., None, :],
               ut.im * s_isq[..., :, None] * s_isq[..., None, :])
     ut = CArr(0.5 * (ut.re + jnp.swapaxes(ut.re, -1, -2)),

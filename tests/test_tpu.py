@@ -96,3 +96,17 @@ def test_tpu_pallas_kernels_vs_scipy():
             j = int(np.argmin(np.abs(np.array(exp) - z)))
             assert abs(exp[j] - z) < 3e-3, (z, exp)
             exp.pop(j)
+
+
+@skip_unless_tpu
+def test_tpu_llc_kbdm_wrapper_refined(five_peak_signal, five_peak_params):
+    """The numpy-convenience llc_kbdm entry point, on the chip, with the
+    double-float polish: recovers the 5 lines to f64-level accuracy."""
+    sig, dwell = five_peak_signal
+    cons, pooled, counts = lt.llc_kbdm(sig, dwell, range(120, 181, 10),
+                                       p=16, eps=2e-4, min_samples=5,
+                                       refine_iters=6)
+    assert len(cons) >= 5 and len(pooled) > len(cons)
+    sel = oracle.match_lines(cons, five_peak_params)
+    err = oracle.line_errors(cons[sel], five_peak_params)
+    assert err.max() < 1e-8, f"max err {err.max():.3e}\n{err}"
