@@ -253,9 +253,12 @@ def main() -> None:
     _, sweep_diag = jax.jit(lambda x: kbdm_sweep(
         x, dwell, cfg.m_values, cfg.kbdm, with_diag=True))(csub)
     jacobi_offdiag = float(jnp.max(sweep_diag["eig_offdiag_rel"]))
-    assert jacobi_offdiag < 1e-2, (
-        f"Jacobi eigensolve did not converge on production matrices: "
-        f"relative off-diagonal {jacobi_offdiag:.3e}")
+    # RuntimeError, not assert: `python -O` strips asserts, and the JSON
+    # line must never claim a gate that was silently skipped.
+    if not jacobi_offdiag < 1e-2:
+        raise RuntimeError(
+            f"Jacobi eigensolve did not converge on production matrices: "
+            f"relative off-diagonal {jacobi_offdiag:.3e}")
 
     # --- 1e-8 accuracy gate, asserted ON THE BENCHMARKED OUTPUTS
     # (BASELINE.json:5 couples the throughput target to the gate): the
@@ -275,9 +278,10 @@ def main() -> None:
             sel_e = oracle.match_lines(est, truths[i])
             errs.append(oracle.line_errors(est[sel_e], olines[sel_o]).max())
         gate_err = float(np.max(errs))
-        assert gate_err < 1e-8, (
-            f"refined bench outputs missed the 1e-8 oracle gate: "
-            f"max rel err {gate_err:.3e} (per-voxel {errs})")
+        if not gate_err < 1e-8:
+            raise RuntimeError(
+                f"refined bench outputs missed the 1e-8 oracle gate: "
+                f"max rel err {gate_err:.3e} (per-voxel {errs})")
         log(f"# gate: max rel err vs f64 oracle on {len(errs)} voxels = "
             f"{gate_err:.2e} (< 1e-8)", quiet)
 

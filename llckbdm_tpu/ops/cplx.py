@@ -164,19 +164,11 @@ def _mm(a, b):
 
 
 def cmatmul(a: CArr, b: CArr) -> CArr:
-    """Complex matmul as 4 real matmuls (accuracy-first; 3-mult Karatsuba is
-    available via :func:`cmatmul3` when throughput matters more)."""
+    """Complex matmul as 4 real matmuls (accuracy-first: a 3-mult Karatsuba
+    variant was measured and rejected — its extra rounding is unacceptable
+    on the SVD/refinement paths and the MXU saving never showed up)."""
     return CArr(_mm(a.re, b.re) - _mm(a.im, b.im),
                 _mm(a.re, b.im) + _mm(a.im, b.re))
-
-
-def cmatmul3(a: CArr, b: CArr) -> CArr:
-    """Karatsuba 3-matmul complex product (25% fewer MXU FLOPs, slightly
-    worse rounding — fine for the f32 stage, not for refinement)."""
-    t1 = _mm(a.re, b.re)
-    t2 = _mm(a.im, b.im)
-    t3 = _mm(a.re + a.im, b.re + b.im)
-    return CArr(t1 - t2, t3 - t1 - t2)
 
 
 def cmatmul_rc(a: jax.Array, b: CArr) -> CArr:

@@ -91,7 +91,14 @@ def dbscan_1d(x: jax.Array, valid: jax.Array, eps: float,
     bench shapes (V=512, n=560); this formulation needs one sort and a few
     O(n) passes.
 
-    Identical semantics to :func:`dbscan`:
+    Identical semantics to :func:`dbscan` — up to float rounding at EXACT
+    eps ties: the range counts here compare ``xs`` against the rounded sums
+    ``xs ± eps`` (searchsorted), while :func:`dbscan` compares the rounded
+    difference ``|x_i - x_j|`` against ``eps``; a pair whose distance is
+    exactly eps can land on different sides of the threshold in the two
+    kernels.  In general position (any real data; the tested pipelines) the
+    labels are identical — fuzzing only produced divergence on inputs
+    quantized so that |x_i - x_j| == eps exactly.
       * neighbor count  = #valid points within eps (self included)
       * core            = valid & count >= min_samples
       * clusters        = connected components of the core-core eps graph

@@ -38,6 +38,35 @@ import numpy as np
 from .cplx import CArr
 
 
+_backend_override: str | None = None
+
+
+class force_backend:
+    """Pin :func:`_tpu_backend`'s answer inside a ``with`` block.
+
+    Used by the jitted pipeline factories (pipeline.llckbdm._llc_kbdm_jit,
+    parallel.grid._fit_grid_jit, ...): they key their lru_caches on the
+    backend name AND pin tracing to it with this context, so a process that
+    switches default device between calls can never reuse a trace holding
+    the other backend's kernel path (Pallas calls that fail to lower on
+    CPU, or the slow scan path on TPU).
+    """
+
+    def __init__(self, platform: str | None):
+        self.platform = platform
+
+    def __enter__(self):
+        global _backend_override
+        self._prev = _backend_override
+        _backend_override = self.platform
+        return self
+
+    def __exit__(self, *exc):
+        global _backend_override
+        _backend_override = self._prev
+        return False
+
+
 def _tpu_backend() -> bool:
     """True when computations dispatch to a TPU by default.
 
@@ -45,8 +74,10 @@ def _tpu_backend() -> bool:
     contexts / ``jax.config.update("jax_default_device", ...)`` and config
     changes made after import, so solver code explicitly pinned to CPU in
     a TPU-visible process takes the scan path instead of failing to lower
-    the Pallas kernels.
+    the Pallas kernels.  A :class:`force_backend` context overrides both.
     """
+    if _backend_override is not None:
+        return _backend_override == "tpu"
     try:
         dev = jax.config.jax_default_device
         if dev is not None:
@@ -54,6 +85,11 @@ def _tpu_backend() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def backend_name() -> str:
+    """'tpu' or 'cpu' — the hashable lru_cache key for jitted factories."""
+    return "tpu" if _tpu_backend() else "cpu"
 
 
 @functools.lru_cache(maxsize=None)
@@ -280,9 +316,11 @@ def _eig_cs_single(a: CArr, sweeps: int, with_resid: bool = False):
     mu = CArr(jnp.diagonal(ar), jnp.diagonal(ai))
     if not with_resid:
         return mu
-    total = jnp.sum(ar * ar + ai * ai)
-    diag = jnp.sum(mu.re * mu.re + mu.im * mu.im)
-    resid = jnp.sqrt(jnp.maximum(total - diag, 0.0))
+    # off-diagonal energy by MASK (not total - diag, which cancels to 0 in
+    # f32 once the off-diag norm is below ~sqrt(eps) of the diagonal —
+    # matches the Pallas kernel's masked accumulation)
+    offm = 1.0 - jnp.eye(ar.shape[-1], dtype=ar.dtype)
+    resid = jnp.sqrt(jnp.sum((ar * ar + ai * ai) * offm))
     return mu, resid
 
 

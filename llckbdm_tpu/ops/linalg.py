@@ -59,31 +59,6 @@ def _mean_diag(g: CArr) -> jax.Array:
     return jnp.mean(jnp.abs(jnp.diagonal(g.re, axis1=-2, axis2=-1)), axis=-1)
 
 
-def orth_basis(y: CArr, sweeps: int = 8, shift_rel: float = 3e-6,
-               passes: int = 2) -> CArr:
-    """Orthonormal basis of range(y) for subspace iteration (..., m, k).
-
-    TPU: shifted CholeskyQR2 — G = q^H q, R^{-1} from the Pallas Cholesky
-    kernel, q <- q R^{-1}, twice.  The span is exact (R invertible by the
-    shift); orthonormality is imperfect only for directions below the shift
-    level, which the downstream Takagi Rayleigh-Ritz re-truncates anyway.
-    CPU: the Lowner (eigh) orthogonalization.
-    """
-    if not _tpu_backend():
-        q, _ = lowner_orth(y, sweeps=sweeps)
-        return q
-    from . import pallas_linalg
-    q = y
-    for _ in range(passes):
-        g = cmatmul(chermitian(q), q)
-        g = CArr(0.5 * (g.re + jnp.swapaxes(g.re, -1, -2)),
-                 0.5 * (g.im - jnp.swapaxes(g.im, -1, -2)))
-        shift = shift_rel * _mean_diag(g)
-        rinv = pallas_linalg.cholqr_rinv(g, shift)
-        q = cmatmul(q, rinv)
-    return q
-
-
 def takagi_small(m: CArr, sweeps: int = 8):
     """Takagi factorization of a complex-symmetric (..., k, k) matrix.
 

@@ -199,14 +199,21 @@ def _eig_cs_kernel(ar_ref, ai_ref, mur_ref, mui_ref, off_ref, sr, si, *,
         return carry
 
     jax.lax.fori_loop(0, sweeps * (n - 1), round_body, 0)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     for q in range(n):
         mur_ref[q, :] = sr[q, q, :]
         mui_ref[q, :] = si[q, q, :]
         # convergence counter: per-row off-diagonal energy of the final
-        # matrix (SURVEY.md §5 metrics row) — ~free, reuses the final rows
+        # matrix (SURVEY.md §5 metrics row) — ~free, reuses the final rows.
+        # The diagonal is EXCLUDED BY MASK, not subtracted afterwards:
+        # sum(row^2) - diag^2 cancels to exactly 0 whenever the off-diag
+        # energy is below ~eps_f32 * diag^2 (~1e-7 relative), which floored
+        # the counter at "< ~3e-4 relative off-diag norm" and made tuning
+        # the sweep budget impossible (round-4 review weak #1).
         row_r, row_i = sr[q, :, :], si[q, :, :]
-        off_ref[q, :] = (jnp.sum(row_r * row_r + row_i * row_i, axis=0)
-                         - (sr[q, q, :] ** 2 + si[q, q, :] ** 2))
+        offmask = (pos != q).astype(row_r.dtype)
+        off_ref[q, :] = jnp.sum((row_r * row_r + row_i * row_i) * offmask,
+                                axis=0)
 
 
 def eig_cs(a: CArr, sweeps: int = 10, interpret: bool = False) -> CArr:

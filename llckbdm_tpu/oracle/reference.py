@@ -282,7 +282,16 @@ def match_lines(est: np.ndarray, truth: np.ndarray) -> np.ndarray:
     Cost: |f_est - f_truth| with a small relative T2-distance tie-breaker
     (distinguishes co-resonant lines of different widths).  Falls back to
     greedy if scipy is unavailable.
+
+    Raises ValueError when fewer lines were estimated than truth rows:
+    the assignment would leave sel entries at -1, and callers index
+    est[sel] — a -1 would silently select the LAST estimated line and
+    compare a wrong pair instead of failing loudly.
     """
+    if len(est) < len(truth):
+        raise ValueError(
+            f"match_lines: {len(est)} estimated lines < {len(truth)} truth "
+            f"lines — the estimate is missing lines; cannot match")
     df = np.abs(est[None, :, 2] - truth[:, None, 2])        # (T, E)
     dt2 = np.abs(est[None, :, 1] - truth[:, None, 1]) \
         / np.maximum(np.abs(truth[:, None, 1]), 1e-30)

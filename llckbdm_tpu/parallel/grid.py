@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.cplx import CArr
+from ..ops.jacobi import backend_name, force_backend
 from ..pipeline.llckbdm import ClusterStats, LlcKbdmConfig, llc_kbdm_fit
 from ..signals import LineList
 from ..solver.refine import RefineConfig, RefinedLines, refine_lines
@@ -47,13 +48,24 @@ from ..utils.df import DF, DFC
 
 
 @functools.lru_cache(maxsize=64)
-def _fit_grid_jit(dwell: float, cfg: LlcKbdmConfig):
-    return jax.jit(functools.partial(llc_kbdm_fit, dwell=dwell, cfg=cfg))
+def _fit_grid_jit(dwell: float, cfg: LlcKbdmConfig, backend: str):
+    # backend in the key + pinned during tracing (see ops.jacobi.force_backend)
+    def traced(c):
+        with force_backend(backend):
+            return llc_kbdm_fit(c, dwell, cfg)
+    return jax.jit(traced)
 
 
 def fit_grid(c: CArr, dwell: float, cfg: LlcKbdmConfig):
     """Jitted LL-KBDM over a voxel batch c (..., N) on the local device."""
-    return _fit_grid_jit(dwell, cfg)(c)
+    return _fit_grid_jit(dwell, cfg, backend_name())(c)
+
+
+def _mesh_backend(mesh: Mesh) -> str:
+    """Trace-time backend for computations placed on this mesh's devices
+    (which may differ from the process default — e.g. a CPU test mesh in a
+    TPU-visible process)."""
+    return mesh.devices.flat[0].platform
 
 
 def _device_put_sharded(c: CArr, mesh: Mesh) -> CArr:
@@ -75,8 +87,11 @@ def _fit_grid_sharded_jit(dwell: float, cfg: LlcKbdmConfig, mesh: Mesh):
     out_spec = (LineList(*([row] * 5)), LineList(*([row] * 5)),
                 row, ClusterStats(*([row] * 4)))
 
+    backend = _mesh_backend(mesh)
+
     def local(c_loc: CArr):
-        return llc_kbdm_fit(c_loc, dwell, cfg)
+        with force_backend(backend):
+            return llc_kbdm_fit(c_loc, dwell, cfg)
 
     return jax.jit(shard_map(local, mesh=mesh, in_specs=(spec_c,),
                              out_specs=out_spec, check_vma=False))
@@ -100,10 +115,13 @@ def fit_grid_sharded(c: CArr, dwell: float, cfg: LlcKbdmConfig, mesh: Mesh):
 @functools.lru_cache(maxsize=64)
 def _refine_timesharded_jit(dwell: float, mesh: Mesh, cfg: RefineConfig,
                             chunk: int):
+    backend = _mesh_backend(mesh)
+
     def local(c_loc: DFC, lines_loc: LineList) -> RefinedLines:
         t0 = chunk * jax.lax.axis_index("time")
-        return refine_lines(c_loc, lines_loc, dwell, cfg,
-                            axis_name="time", t_offset=t0)
+        with force_backend(backend):
+            return refine_lines(c_loc, lines_loc, dwell, cfg,
+                                axis_name="time", t_offset=t0)
 
     spec_c = DFC(DF(P("data", "time"), P("data", "time")),
                  DF(P("data", "time"), P("data", "time")))

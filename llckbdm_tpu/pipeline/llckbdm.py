@@ -15,7 +15,7 @@ import numpy as np
 
 from ..ops.cplx import CArr
 from ..ops.dbscan import compact_labels, dbscan, dbscan_1d, masked_median
-from ..ops.jacobi import _tpu_backend
+from ..ops.jacobi import _tpu_backend, backend_name, force_backend
 from ..signals import LineList
 from ..solver.kbdm import KbdmConfig, kbdm_sweep
 
@@ -118,7 +118,10 @@ def llc_kbdm_fit(c: CArr, dwell: float, cfg: LlcKbdmConfig):
     # to multi-pass bitonic/sequential code with a measured ~35 ms floor
     # at bench shapes — there the O(n^2) matrix kernel's fully-parallel
     # VPU ops are 3x faster (measured 107 ms vs 35 ms per 512-voxel
-    # launch).  Semantics are identical (label-exact, tested).
+    # launch).  Semantics are identical in general position (label-exact,
+    # tested); the kernels can only differ on pairs whose distance is
+    # EXACTLY eps after rounding (see ops.dbscan.dbscan_1d docstring), so
+    # backend choice is observable only on such contrived ties.
     use_1d = cfg.damping_weight == 0.0 and not _tpu_backend()
 
     def one_voxel(feats_v, valid_v, pool_v):
@@ -140,8 +143,15 @@ def llc_kbdm_fit(c: CArr, dwell: float, cfg: LlcKbdmConfig):
 
 
 @functools.lru_cache(maxsize=64)
-def _llc_kbdm_jit(dwell: float, cfg: LlcKbdmConfig):
-    return jax.jit(functools.partial(llc_kbdm_fit, dwell=dwell, cfg=cfg))
+def _llc_kbdm_jit(dwell: float, cfg: LlcKbdmConfig, backend: str):
+    # backend is part of the cache key AND pinned during tracing: the
+    # trace-time _tpu_backend() branches (dbscan kernel choice here,
+    # use_bf16/orth_sk in kbdm_sweep) must match the devices this compiled
+    # function will run on even if the process default changes later.
+    def traced(c):
+        with force_backend(backend):
+            return llc_kbdm_fit(c, dwell, cfg)
+    return jax.jit(traced)
 
 
 def llc_kbdm(data: np.ndarray, dwell: float, m_range, p: int = 24,
@@ -174,7 +184,7 @@ def llc_kbdm(data: np.ndarray, dwell: float, m_range, p: int = 24,
                         kbdm=KbdmConfig(p=p))
     c = CArr(jnp.asarray(batch.real, jnp.float32),
              jnp.asarray(batch.imag, jnp.float32))
-    cons, pooled, counts, _stats = _llc_kbdm_jit(dwell, cfg)(c)
+    cons, pooled, counts, _stats = _llc_kbdm_jit(dwell, cfg, backend_name())(c)
 
     if refine_iters > 0:
         from ..solver.refine import RefineConfig, refine_lines, refined_to_np

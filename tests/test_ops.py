@@ -78,6 +78,30 @@ def test_hankel_batched():
                                rtol=1e-6)
 
 
+def test_hankel_apply_fft_matches_dense():
+    """The implicit FFT Hankel apply (BASELINE.json:5 'implicit FFT-based
+    operators') equals the materialized matmul for both shifts.
+
+    NOTE the implicit form is a correctness-complete alternative but NOT
+    the shipped hot path: measured on v5e it is ~90x slower than the bf16
+    MXU apply at bench shapes (m=256, J=840) and within noise at m=512 —
+    see tools/bench_fft_hankel.py and the BASELINE.md record."""
+    from llckbdm_tpu.ops.hankel import (fft_length, hankel_apply_fft,
+                                        hankel_fft_spectrum)
+    rng = np.random.default_rng(7)
+    v, m, j = 3, 24, 5
+    c = _rand_c(rng, v, 2 * m)
+    x = _rand_c(rng, v, m, j)
+    assert fft_length(m) == 64
+    for shift in (0, 1):
+        h = to_np(hankel_matrices(from_np(c), m, shift=shift))
+        want = np.einsum("vab,vbj->vaj", h.astype(np.complex128),
+                         x.astype(np.complex128))
+        spec = hankel_fft_spectrum(from_np(c), m, shift=shift)
+        got = to_np(hankel_apply_fft(spec, from_np(x), m))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+
 # ---------------------------------------------------------------------------
 # Jacobi eigensolvers
 # ---------------------------------------------------------------------------

@@ -103,8 +103,8 @@ def dp_scaling(v=16, n=256, dwell=5e-4):
         t1 = t1 or t
         print(f"| {nd} | {t*1e3:8.1f} | {v/t:8.1f} | {t/t1:.2f}x | {ncoll} |",
               flush=True)
-        rows.append({"devices": nd, "ms": round(t * 1e3, 1),
-                     "solves_per_s": round(v / t, 1), "collectives": ncoll})
+        rows.append({"devices": nd, "collectives": ncoll,
+                     "virtual_mesh_ms_NOT_TRANSFERABLE": round(t * 1e3, 1)})
     return rows
 
 
@@ -175,6 +175,10 @@ if __name__ == "__main__":
     ov = overlap_probe()
     out = {"backend": jax.devices()[0].platform,
            "n_devices": len(jax.devices()),
+           "note": ("8 VIRTUAL cpu devices share 2 physical cores: only "
+                    "the collective counts and overlap STRUCTURE transfer "
+                    "to a real pod; every wall-clock field here is "
+                    "virtual-mesh noise and must not be read as scaling"),
            "dp_scaling": dp, "overlap_probe": ov}
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "SCALING.json"), "w") as f:
