@@ -20,7 +20,8 @@ import numpy as np
 
 from ..ops.cplx import CArr
 from ..pipeline.llckbdm import LlcKbdmConfig
-from .grid import fit_grid
+from ..solver.refine import RefineConfig
+from .grid import fit_grid, refine_grid
 
 
 def shard_manifest(n_voxels: int, shard_size: int,
@@ -53,6 +54,13 @@ class GridRunner:
     cfg       : pipeline config (must be identical across resume runs; a
                 fingerprint is stored in manifest.json and checked)
     shard_size: voxels per shard (one jit launch each)
+    refine    : when set, each shard additionally runs the double-float
+                Gauss-Newton polish (the stage that meets the 1e-8 oracle
+                gate, solver.refine) on its top ``refine_clusters``
+                consolidated clusters, and the refined double-float poles /
+                amplitudes are stored in the shard .npz as complex128
+                (``refined_z``, ``refined_d``, + ``refined_mask``,
+                ``gn_step``).  None (default) = f32-only pipeline.
     """
 
     out_dir: str | os.PathLike
@@ -61,6 +69,8 @@ class GridRunner:
     shard_size: int = 256
     process_index: int = 0
     num_processes: int = 1
+    refine: RefineConfig | None = None
+    refine_clusters: int = 16
 
     def __post_init__(self):
         self.out_dir = pathlib.Path(self.out_dir)
@@ -73,11 +83,15 @@ class GridRunner:
         # computed under different configs.
         cfg = dataclasses.asdict(self.cfg)
         cfg["m_values"] = list(map(int, cfg["m_values"]))
-        return {
+        fp = {
             "dwell": float(self.dwell),
             "cfg": cfg,
             "shard_size": int(self.shard_size),
         }
+        if self.refine is not None:
+            fp["refine"] = dataclasses.asdict(self.refine)
+            fp["refine_clusters"] = int(self.refine_clusters)
+        return fp
 
     def _check_manifest(self) -> None:
         """Create-or-validate manifest.json, atomically and from EVERY process.
@@ -166,7 +180,10 @@ class GridRunner:
         still written atomically (tmp + rename), so a kill mid-run loses
         at most the in-flight shards.
         """
+        import jax
         import jax.numpy as jnp
+
+        from ..utils import df as D
 
         signals = np.asarray(signals)
         self._check_data(signals)
@@ -181,10 +198,18 @@ class GridRunner:
             c = CArr(jnp.asarray(seg.real, jnp.float32),
                      jnp.asarray(seg.imag, jnp.float32))
             cons, _pooled, counts, _stats = fit_grid(c, self.dwell, self.cfg)
-            return cons, counts
+            if self.refine is None:
+                return cons, counts, None
+            # gate-meeting stage: consolidated slots are count-sorted, so
+            # the top refine_clusters slice keeps every genuine line
+            rc = min(self.refine_clusters, self.cfg.max_clusters)
+            cons_r = jax.tree.map(lambda x: x[..., :rc], cons)
+            refined = refine_grid(D.dfc_from_np(seg), cons_r, self.dwell,
+                                  self.refine)
+            return cons, counts, refined
 
         def drain(item):
-            (s, e), (cons, counts) = item
+            (s, e), (cons, counts, refined) = item
             out = {
                 "amplitude": np.asarray(cons.amplitude)[:e - s],
                 "t2": np.asarray(cons.t2)[:e - s],
@@ -193,6 +218,11 @@ class GridRunner:
                 "mask": np.asarray(cons.mask)[:e - s],
                 "counts": np.asarray(counts)[:e - s],
             }
+            if refined is not None:
+                out["refined_z"] = D.dfc_to_np(refined.z)[:e - s]
+                out["refined_d"] = D.dfc_to_np(refined.d)[:e - s]
+                out["refined_mask"] = np.asarray(refined.mask)[:e - s]
+                out["gn_step"] = np.asarray(refined.gn_step)[:e - s]
             path = _shard_path(self.out_dir, s, e)
             tmp = path.with_suffix(".tmp.npz")
             np.savez(tmp, **out)
@@ -229,7 +259,10 @@ class GridRunner:
         if missing:
             raise FileNotFoundError(
                 f"grid incomplete: missing shards {', '.join(missing)}")
-        keys = ("amplitude", "t2", "frequency", "phase", "mask", "counts")
+        # keys come from the first shard file: refined runners carry the
+        # extra refined_z/refined_d/refined_mask/gn_step arrays
+        with np.load(_shard_path(self.out_dir, *shards[0])) as z0:
+            keys = tuple(z0.files)
         parts = {k: [] for k in keys}
         for s, e in shards:
             with np.load(_shard_path(self.out_dir, s, e)) as z:

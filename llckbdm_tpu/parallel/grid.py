@@ -61,6 +61,22 @@ def fit_grid(c: CArr, dwell: float, cfg: LlcKbdmConfig):
     return _fit_grid_jit(dwell, cfg, backend_name())(c)
 
 
+@functools.lru_cache(maxsize=64)
+def _refine_jit(dwell: float, cfg: RefineConfig, backend: str):
+    def traced(c: DFC, lines: LineList) -> RefinedLines:
+        with force_backend(backend):
+            return refine_lines(c, lines, dwell, cfg)
+    return jax.jit(traced)
+
+
+def refine_grid(c: DFC, lines: LineList, dwell: float,
+                cfg: RefineConfig = RefineConfig()) -> RefinedLines:
+    """Jitted double-float GN refinement over a voxel batch on the local
+    device (the gate-meeting stage; used per-shard by parallel.checkpoint
+    when the runner is configured with a RefineConfig)."""
+    return _refine_jit(dwell, cfg, backend_name())(c, lines)
+
+
 def _mesh_backend(mesh: Mesh) -> str:
     """Trace-time backend for computations placed on this mesh's devices
     (which may differ from the process default — e.g. a CPU test mesh in a

@@ -60,8 +60,22 @@ class KbdmConfig:
                                  # iters=3 config-1 gate and the brain
                                  # f32-stage line count — 2 keeps every
                                  # committed gate green.
-    eigh_sweeps: int = 8         # Jacobi sweeps for Hermitian eigh
-    eig_sweeps: int = 10         # Jacobi sweeps for complex-symmetric eig
+    eigh_sweeps: int = 8         # Jacobi sweeps for Hermitian eigh /
+                                 # gram_svd.  Tuned r05
+                                 # (tools/tune_sweeps.py): every reduced
+                                 # (eig_sweeps, eigh_sweeps) pair down to
+                                 # (5, 4) FAILS the committed noiseless
+                                 # iters=3 chip gate (8.7e-8..2.7e-6 vs
+                                 # 1e-8) while saving only ~9-19 ms of the
+                                 # 217 ms V=512 sweep — (10, 8) is the
+                                 # measured minimum, not a guess.
+    eig_sweeps: int = 10         # Jacobi sweeps for complex-symmetric eig.
+                                 # The (un-floored) production convergence
+                                 # counter shows the quadratic cliff lands
+                                 # exactly here: rel off-diag 9.3e-2 after
+                                 # 8 sweeps, 7.4e-7 after 10 (r05,
+                                 # tools/tune_sweeps.py) — production
+                                 # matrices NEED all 10.
     final_orth_passes: int = 2   # CholeskyQR passes for the Rayleigh-Ritz
                                  # basis (TPU path).  1 is ~20 ms faster
                                  # at bench shapes and held the in-bench
