@@ -197,6 +197,12 @@ def compact_labels(labels: jax.Array, max_clusters: int):
       counts     : (C,) int32 member counts (0 = unused slot)
     Clusters are ordered by (descending size, ascending root index) so the
     output is deterministic.
+
+    The top_k here is NOT a sort pathology worth removing: an O(n^2)
+    rank-selection rewrite (the trick that wins for masked_median) was
+    measured r05 at V=1024, n=560 — top_k 3.5 ms vs rank-compare 14 ms
+    marginal (the (n, n) i32 compare+reduce materializes more HBM traffic
+    than the k=32 partial sort costs) — and was reverted.
     """
     n = labels.shape[0]
     is_clustered = labels >= 0

@@ -127,6 +127,41 @@ def test_refined_hits_1e8_oracle_gate(five_peak_params, seed, noise):
     assert err.max() < 1e-8, f"max err {err.max():.3e}\n{err}"
 
 
+def test_refined_gate_at_1e3_noise_full_pipeline(five_peak_params):
+    """1e-8 device-vs-oracle gate at noise sigma = 1e-3 (round-4 review
+    next #6: gate evidence thinned out above 1e-4).  At this level the
+    amplitude threshold of the single-m test above keeps ~11 lines (junk
+    amplitudes reach percent scale), so genuine-line selection must go
+    through the FULL LL-KBDM pipeline — sweep + DBSCAN consolidation —
+    exactly the machinery built for noisy spectra.  Characterized r05
+    (tools/noise_gate_sweep.py): device-vs-oracle agreement degrades
+    smoothly (2.5e-11 at 1e-4 -> ~2e-9 at 1e-2) and never crosses 1e-8
+    through sigma = 1e-2 on either backend."""
+    from llckbdm_tpu.pipeline.llckbdm import LlcKbdmConfig, llc_kbdm_fit
+
+    dwell = 5e-4
+    rng = np.random.default_rng(3)
+    params = five_peak_params.copy()
+    params[:, 2] += rng.normal(scale=2.0, size=5)
+    sig = oracle.sample_signal(params, 512, dwell)
+    sig = sig + 1e-3 * (rng.standard_normal(512)
+                        + 1j * rng.standard_normal(512))
+
+    cfg = LlcKbdmConfig(m_values=tuple(range(120, 257, 8)), eps=2e-4,
+                        min_samples=10, max_clusters=16, kbdm=CFG)
+    cons, _, _, _ = llc_kbdm_fit(from_np(sig[None]), dwell, cfg)
+    cons = jax.tree.map(lambda x: x[0], cons)
+    ref = refine_lines(D.dfc_from_np(sig), cons, dwell,
+                       RefineConfig(iters=8))
+    est = refined_to_np(ref, dwell)
+    olines = oracle.refine(np.asarray(params, np.float64), sig, dwell,
+                           iters=30)
+    sel_o = oracle.match_lines(olines, params)
+    sel_e = oracle.match_lines(est, params)
+    err = oracle.line_errors(est[sel_e], olines[sel_o])
+    assert err.max() < 1e-8, f"max err {err.max():.3e}\n{err}"
+
+
 def test_refine_f32_warmstart_hits_gate(five_peak_params):
     """f32 warm-start iterations + df polish reach the same 1e-8 gate as
     all-df iterations: GN re-converges to the df fixed point from any

@@ -109,13 +109,20 @@ def timeit(name, fn, *args, reps=3, flops=0.0, unit="", hbm_bytes=0.0):
         extra += f"  {gbs:6.1f} GB/s = {gbs * 1e9 / HBM_BW * 100:5.1f}% HBM"
     print(f"{name:44s} {avg*1e3:9.2f} ms   (compile {compile_s:5.1f}s)"
           f"{extra}", flush=True)
-    _rows.append({"stage": name, "ms": round(avg * 1e3, 2),
-                  "gflops": round(flops / 1e9, 1) if flops else None,
-                  "unit": unit or None,
-                  "pct_peak": round(flops / avg /
-                                    (MXU_F32_PEAK if unit == "MXU"
-                                     else VPU_PEAK) * 100, 1)
-                  if flops else None})
+    row = {"stage": name, "ms": round(avg * 1e3, 2),
+           "gflops": round(flops / 1e9, 1) if flops else None,
+           "unit": unit or None,
+           "pct_peak": round(flops / avg /
+                             (MXU_F32_PEAK if unit == "MXU"
+                              else VPU_PEAK) * 100, 1)
+           if flops else None}
+    if hbm_bytes:
+        row["gbytes"] = round(hbm_bytes / 1e9, 2)
+        row["gb_per_s"] = round(hbm_bytes / avg / 1e9, 1)
+        if not flops:
+            row["unit"] = "HBM"
+            row["pct_peak"] = round(hbm_bytes / avg / HBM_BW * 100, 1)
+    _rows.append(row)
     return out
 
 
@@ -190,11 +197,16 @@ def main():
                                                   y.im, y.re)
     g_small = CArr(0.5 * (gr + jnp.swapaxes(gr, -1, -2)),
                    0.5 * (gi - jnp.swapaxes(gi, -1, -2)))
+    # cholqr kernel work model (ACTUAL rows-only ops, not minimal
+    # triangular flops): _chol_inplace does k full-block masked rank-1
+    # updates (~12 flops/entry incl. the mask multiply) ~= 12 k^3; the
+    # triangular inverse k full-block multiplies + reductions ~= 14 k^3.
+    f_cholqr = float(s * v) * 26.0 * k ** 3
     if jax.devices()[0].platform == "tpu":
         timeit("  cholqr_rinv kernel (V,S,k,k)",
                jax.jit(lambda g: pallas_linalg.cholqr_rinv(
                    g, 1e-6 * jnp.ones(g.re.shape[:-2], g.re.dtype))),
-               g_small)
+               g_small, flops=f_cholqr, unit="VPU")
 
     # takagi timing input: Hermitian rather than complex-symmetric, but the
     # kernel's op count depends only on shape/sweeps — fine for timing
@@ -232,7 +244,31 @@ def main():
     cons, _, _, _ = fit(c)
     t_sw = [r for r in _rows if r["stage"] == "kbdm_sweep"][0]["ms"]
     t_full = [r for r in _rows if r["stage"].startswith("llc_kbdm")][0]["ms"]
-    print(f"{'cluster+consolidate (derived)':44s} {t_full - t_sw:9.2f} ms")
+    t_cluster = t_full - t_sw
+    # cluster+consolidate work model (n = S*p pooled lines, C clusters):
+    # VPU — O(n^2) adjacency/dist (6n^2) + counts (2n^2) + ~8 propagation
+    # rounds of masked min (3n^2 each) + border (3n^2) + 5 rank-median
+    # 'before' matrices (3n^2 each); MXU-bf16 — 5 rank matmuls (n, n)@(n, C).
+    # The measured % is low by construction: the label-propagation
+    # while_loop is LATENCY-bound (each round is a full HBM round trip of
+    # the adjacency mask), which is why dbscan_1d wins on CPU but the
+    # O(n^2) form still wins on TPU (sort costs more; see ops/dbscan.py).
+    npool = s * p
+    cc_cl = cfg.max_clusters
+    f_cluster_vpu = float(v) * 50.0 * npool * npool
+    f_cluster_mxu = float(v) * 10.0 * npool * npool * cc_cl
+    pct_cl = (f_cluster_vpu / (t_cluster * 1e-3) / VPU_PEAK * 100
+              if t_cluster > 0 else 0.0)
+    print(f"{'cluster+consolidate (derived)':44s} {t_cluster:9.2f} ms   "
+          f"(VPU model {f_cluster_vpu/1e9:.1f} GF = {pct_cl:.1f}% "
+          f"+ {f_cluster_mxu/1e9:.1f} GF MXU-bf16)")
+    _rows.append({"stage": "cluster+consolidate (derived)",
+                  "ms": round(t_cluster, 2),
+                  "gflops": round((f_cluster_vpu + f_cluster_mxu) / 1e9, 1),
+                  "unit": "VPU+MXU(bf16)",
+                  "pct_peak": round(pct_cl, 1),
+                  "note": "latency-bound propagation while_loop; pct is "
+                          "VPU share only"})
 
     cdf = D.dfc_from_np(sigs)
     cc = cons.amplitude.shape[-1]
@@ -244,11 +280,58 @@ def main():
                                               RefineConfig(iters=iters))),
            cdf, cons, flops=f_ref, unit="MXU")
 
+    # --- aggregate distance-to-light (round-4 review next #5) -------------
+    # Ideal time = sum over the REAL per-launch stage inventory of
+    # (modeled work) / (the binding unit's peak), using the precision each
+    # stage actually runs at.  Z = ideal / measured is the single
+    # "fraction of speed-of-light" figure for the full fit.
+    MXU_BF16_PEAK = 197e12
+    it_sub = kc.subspace_iters
+    f_apply16 = 8.0 * m_max * m_max * k * s * v        # one bf16 apply
+    f_gram = 8.0 * m_max * k * k * s * v               # one gram/mix einsum
+    f_cholqr1 = float(s * v) * 26.0 * k ** 3
+    pairs_g = kc.eigh_sweeps * (k - 1) * (k // 2)
+    f_takagi1 = float(s * v) * pairs_g * 72 * k
+    ep_ = kc.eig_sweeps * (p - 1) * (p // 2)
+    f_eig1 = float(s * v) * ep_ * (4 * p * 7 + 140)
+    nch = (n + kc.rhs_chunk - 1) // kc.rhs_chunk
+    f_lines1 = float(s * v) * (nch * kc.rhs_chunk * p * 14
+                               + 60 * p * p + 8 * p ** 3 / 3)
+    ideal = {
+        "hankel x2 (HBM)": 2 * (v * m_max * m_max * 8) / HBM_BW,
+        "bf16 applies x%d" % (1 + it_sub):
+            (1 + it_sub) * f_apply16 / MXU_BF16_PEAK,
+        "bf16 orth grams/mixes": it_sub * 2 * f_gram / MXU_BF16_PEAK,
+        "f32 final orth x2 (gram+mix)": 4 * f_gram / MXU_F32_PEAK,
+        "cholqr kernels x%d" % (it_sub + 2):
+            (it_sub + 2) * f_cholqr1 / VPU_PEAK,
+        "m_small apply+gram (f32)":
+            (8.0 * m_max * m_max * k * s * v + f_gram) / MXU_F32_PEAK,
+        "takagi (gram_svd kernel)": f_takagi1 / VPU_PEAK,
+        "u_p mix + U1 apply + gram (f32)":
+            (8.0 * m_max * k * p * s * v + 8.0 * m_max * m_max * p * s * v
+             + 8.0 * m_max * p * p * s * v) / MXU_F32_PEAK,
+        "eig_cs kernel": f_eig1 / VPU_PEAK,
+        "poles->lines": f_lines1 / VPU_PEAK,
+        "cluster+consolidate":
+            f_cluster_vpu / VPU_PEAK + f_cluster_mxu / MXU_BF16_PEAK,
+    }
+    ideal_fit_ms = sum(ideal.values()) * 1e3
+    print("\n# ideal (speed-of-light) per-launch budget:")
+    for kname, t in ideal.items():
+        print(f"  {kname:36s} {t*1e3:7.2f} ms")
+    z_fit = ideal_fit_ms / t_full * 100.0
+    print(f"# full f32 fit: ideal {ideal_fit_ms:.1f} ms / measured "
+          f"{t_full:.1f} ms -> {z_fit:.1f}% of binding unit peaks")
+
     import json
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PROFILE.json"), "w") as f:
         json.dump({"device": jax.devices()[0].device_kind,
-                   "voxels": v, "rows": _rows}, f, indent=1)
+                   "voxels": v, "rows": _rows,
+                   "ideal_ms": {kk: round(tt * 1e3, 2)
+                                for kk, tt in ideal.items()},
+                   "pipeline_pct_of_light": round(z_fit, 1)}, f, indent=1)
     print("# wrote PROFILE.json")
 
 
