@@ -21,10 +21,10 @@ Measures, on one chip:
    matrices relative to their Frobenius norm (kbdm_sweep with_diag=True),
    asserted < 1e-2 in-bench.
 
-Default voxel batch 1024: round-4 saturation (f32-only fits/s on v5e):
-V=128 -> 1618, 256 -> 1884, 512 -> 2121, 1024 -> 2283 — the curve keeps
-climbing to 1024, which is the knee (run with --saturation to reproduce;
-round-3 saturated at 512 with the older kernel structure).
+Default voxel batch 2048: round-5 saturation (f32-only fits/s on v5e):
+V=128 -> 1285, 256 -> 1967, 512 -> 2097, 1024 -> 2262, 2048 -> 2344 —
+the curve keeps climbing (run with --saturation to reproduce; rounds 3/4
+saturated at 512/1024 with the older kernel structures).
 
 Prints ONE JSON line:
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., ...}
@@ -126,7 +126,7 @@ def eig_cs_flops(batch: int, p: int, sweeps: int) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--voxels", type=int, default=1024)
+    ap.add_argument("--voxels", type=int, default=2048)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--gn-iters", type=int, default=6,
                     help="double-float GN refinement iterations; 6 is the "
@@ -184,7 +184,7 @@ def main() -> None:
 
     if args.saturation:
         fit = jax.jit(lambda x: llc_kbdm_fit(x, dwell, cfg))
-        for vv in (128, 256, 512, 1024):
+        for vv in (128, 256, 512, 1024, 2048):
             if vv <= v:
                 cs, count = CArr(c32.re[:vv], c32.im[:vv]), vv
             else:

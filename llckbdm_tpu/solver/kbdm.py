@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cplx import (CArr, cabs, cangle, cmatmul, cmul, conj, cpow_int,
+from ..ops.cplx import (CArr, cabs, cangle, cmul, conj, cpow_int,
                         cwhere)
 from ..ops import jacobi
 from ..ops.hankel import hankel_matrices
@@ -96,6 +96,20 @@ class KbdmConfig:
                                  # which runs f32-HIGHEST on a final f32
                                  # CholeskyQR2 basis); halves the dominant
                                  # HBM traffic.  Ignored on CPU.
+    mxu_precision: str = "highest"  # precision of the SWEEP's f32 MXU
+                                 # stages (applies + gram/mix einsums):
+                                 # "highest" = bf16x6 passes (true-f32),
+                                 # "high" = bf16x3.  Measured r05
+                                 # (tools/precision_gate.py, chip): "high"
+                                 # PASSES both committed gates (noiseless
+                                 # iters=3: 1.4e-9) but the sweep time is
+                                 # UNCHANGED (216.3 vs 218.6 ms at V=512)
+                                 # — these stages are HBM-bound, not
+                                 # MXU-pass-bound, so fewer passes buy
+                                 # nothing.  Default stays "highest" for
+                                 # the extra numerical margin at zero
+                                 # cost.  _poles_to_lines and refinement
+                                 # always run HIGHEST.
     seed: int = 0                # subspace sketch seed
 
 
@@ -239,6 +253,12 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
     p, k = cfg.p, cfg.p + cfg.oversample
     ns = len(m_values)
 
+    prec = (jax.lax.Precision.HIGHEST if cfg.mxu_precision == "highest"
+            else jax.lax.Precision.HIGH)
+    _esp = functools.partial(jnp.einsum, precision=prec)
+    mmp = functools.partial(jnp.matmul, precision=prec,
+                            preferred_element_type=jnp.float32)
+
     h0 = hankel_matrices(c, m_max)            # (..., m_max, m_max)
     h1 = hankel_matrices(c, m_max, shift=1)
     if _stop == "hankel":
@@ -270,28 +290,30 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
         j = xm.re.shape[-1]
         flat = CArr(xm.re.reshape(*xm.re.shape[:-2], ns * j),
                     xm.im.reshape(*xm.im.shape[:-2], ns * j))
-        y = cmatmul(h, flat)                  # (..., m, m) @ (..., m, S*j)
+        # (..., m, m) @ (..., m, S*j) at cfg.mxu_precision
+        y = CArr(mmp(h.re, flat.re) - mmp(h.im, flat.im),
+                 mmp(h.re, flat.im) + mmp(h.im, flat.re))
         y = CArr(y.re.reshape(*y.re.shape[:-1], ns, j),
                  y.im.reshape(*y.im.shape[:-1], ns, j))
         return CArr(y.re * mk, y.im * mk)
 
-    # complex einsums over the (..., m, S, j) layout (HIGHEST precision)
+    # complex einsums over the (..., m, S, j) layout (cfg.mxu_precision)
     def gram_sk(a: CArr, b: CArr) -> CArr:
         """a^H b contracting m: (..., m, S, j1), (..., m, S, j2) ->
         (..., S, j1, j2)."""
-        re = _es('...msk,...msl->...skl', a.re, b.re) + \
-             _es('...msk,...msl->...skl', a.im, b.im)
-        im = _es('...msk,...msl->...skl', a.re, b.im) - \
-             _es('...msk,...msl->...skl', a.im, b.re)
+        re = _esp('...msk,...msl->...skl', a.re, b.re) + \
+             _esp('...msk,...msl->...skl', a.im, b.im)
+        im = _esp('...msk,...msl->...skl', a.re, b.im) - \
+             _esp('...msk,...msl->...skl', a.im, b.re)
         return CArr(re, im)
 
     def mix_sk(a: CArr, w: CArr) -> CArr:
         """a @ w per sweep entry: (..., m, S, j1) @ (..., S, j1, j2) ->
         (..., m, S, j2)."""
-        re = _es('...msk,...skl->...msl', a.re, w.re) - \
-             _es('...msk,...skl->...msl', a.im, w.im)
-        im = _es('...msk,...skl->...msl', a.re, w.im) + \
-             _es('...msk,...skl->...msl', a.im, w.re)
+        re = _esp('...msk,...skl->...msl', a.re, w.re) - \
+             _esp('...msk,...skl->...msl', a.im, w.im)
+        im = _esp('...msk,...skl->...msl', a.re, w.im) + \
+             _esp('...msk,...skl->...msl', a.im, w.re)
         return CArr(re, im)
 
     def orth_sk(y: CArr, passes: int) -> CArr:
