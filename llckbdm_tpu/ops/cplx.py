@@ -217,6 +217,46 @@ def cscale_rows(s: CArr, a: CArr) -> CArr:
 
 
 def cpow_int(a: CArr, n: jax.Array) -> CArr:
-    """a**n for integer-valued real exponent array n (via exp(n log a))."""
+    """a**n for integer-valued real exponent array n (via exp(n log a)).
+
+    For STATIC integer n prefer :func:`cpow_fixed`/:func:`cpowers`: this
+    form costs 5 VPU transcendentals per element (log, atan2, exp, sin,
+    cos), which dominated the poles->lines stage (measured r05)."""
     la = clog(a)
     return cexp(CArr(la.re * n, la.im * n))
+
+
+def cpow_fixed(a: CArr, n: int) -> CArr:
+    """a**n for a STATIC integer n >= 0 by binary exponentiation —
+    ~2 log2(n) real multiply-adds per element, no transcendentals."""
+    if n == 0:
+        return CArr(jnp.ones_like(a.re), jnp.zeros_like(a.re))
+    out = None
+    sq = a
+    while n:
+        if n & 1:
+            out = sq if out is None else cmul(out, sq)
+        n >>= 1
+        if n:
+            sq = cmul(sq, sq)
+    return out
+
+
+def cpowers(a: CArr, n: int) -> CArr:
+    """All powers a^0 .. a^(n-1) along a NEW trailing axis (..., n).
+
+    Binary decomposition (the solver.refine._c32_powers scheme): ceil(log2
+    n) squarings of a plus one select/multiply chain per bit — O(n log n)
+    multiplies total instead of n transcendental evaluations."""
+    nbits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    sq = [a]
+    for _ in range(nbits - 1):
+        sq.append(cmul(sq[-1], sq[-1]))
+    ks = np.arange(n)
+    out = None
+    for j in range(nbits):
+        bit = jnp.asarray((ks >> j) & 1, a.re.dtype)
+        f = CArr(jnp.where(bit > 0, sq[j].re[..., None], a.re.dtype.type(1.0)),
+                 bit * sq[j].im[..., None])
+        out = f if out is None else cmul(out, f)
+    return out

@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.cplx import (CArr, cabs, cangle, cmul, conj, cpow_int,
-                        cwhere)
+from ..ops.cplx import (CArr, cabs, cangle, cmul, conj, cpow_fixed,
+                        cpowers, cwhere)
 from ..ops import jacobi
 from ..ops.hankel import hankel_matrices
 from ..ops.linalg import lowner_orth, takagi_small, hermitian_solve
@@ -152,9 +152,12 @@ def _poles_to_lines(mu: CArr, keep, c: CArr, dwell: float, n: int,
              CArr(mu.re[..., None, :], mu.im[..., None, :]))  # (..., p, p)
     zsafe = cwhere(amp_valid[..., :, None] & amp_valid[..., None, :], z,
                    CArr(jnp.zeros_like(z.re), jnp.zeros_like(z.re)))
-    zn = cpow_int(cwhere(cabs(zsafe) > 1e-30, zsafe,
-                         CArr(jnp.ones_like(z.re), jnp.zeros_like(z.re))),
-                  jnp.float32(n))
+    # z^N by binary squaring (static N): ~2 log2(N) multiplies/element vs
+    # 5 VPU transcendentals for the exp(N log z) form — measured r05, the
+    # transcendental chain dominated this stage (27.4 ms isolated)
+    zn = cpow_fixed(cwhere(cabs(zsafe) > 1e-30, zsafe,
+                           CArr(jnp.ones_like(z.re), jnp.zeros_like(z.re))),
+                    n)
     zn = cwhere(cabs(zsafe) > 1e-30, zn,
                 CArr(jnp.zeros_like(z.re), jnp.zeros_like(z.re)))
     one = CArr(jnp.ones_like(z.re), jnp.zeros_like(z.re))
@@ -181,15 +184,13 @@ def _poles_to_lines(mu: CArr, keep, c: CArr, dwell: float, n: int,
         [c.re, jnp.zeros((*c.re.shape[:-1], n_pad - n), c.re.dtype)], -1),
         jnp.concatenate(
         [c.im, jnp.zeros((*c.im.shape[:-1], n_pad - n), c.im.dtype)], -1))
-    ks = jnp.arange(chunk, dtype=mu.re.dtype)
-    # base: (..., p, chunk) = mu^k for k in [0, chunk);  masked slots use mu=1
-    # to keep log() finite (their contribution is zeroed below).
+    # base: (..., p, chunk) = mu^k for k in [0, chunk) via the binary
+    # power decomposition (no transcendentals); masked slots use mu=1 so
+    # every power stays finite (their contribution is zeroed below).
     mu_for_pow = CArr(jnp.where(amp_valid, mu.re, 1.0),
                       jnp.where(amp_valid, mu.im, 0.0))
-    base = cpow_int(CArr(mu_for_pow.re[..., :, None],
-                         mu_for_pow.im[..., :, None]),
-                    ks[(None,) * mu.re.ndim + (slice(None),)])
-    step = cpow_int(mu_for_pow, jnp.float32(chunk))   # (..., p): mu^chunk
+    base = cpowers(mu_for_pow, chunk)
+    step = cpow_fixed(mu_for_pow, chunk)              # (..., p): mu^chunk
 
     def body(carry, idx):
         # carry: (..., p) complex = mu^(idx*chunk)

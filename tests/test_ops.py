@@ -54,6 +54,21 @@ def test_chermitian_and_cpow():
     np.testing.assert_allclose(got, [z ** 37], rtol=1e-4)
 
 
+def test_cpow_fixed_and_cpowers_match_numpy():
+    """Binary-exponentiation powers (the transcendental-free hot path of
+    _poles_to_lines) vs numpy, including n=0/1 edges and damped poles."""
+    rng = np.random.default_rng(6)
+    z = 0.999 * np.exp(1j * rng.uniform(-3, 3, 7)) \
+        * rng.uniform(0.95, 1.0, 7)
+    cz = from_np(z)
+    for n in (0, 1, 2, 37, 128, 512):
+        got = to_np(cplx.cpow_fixed(cz, n))
+        np.testing.assert_allclose(got, z ** n, rtol=5e-4, atol=1e-6)
+    got = to_np(cplx.cpowers(cz, 128))         # (7, 128)
+    want = z[:, None] ** np.arange(128)[None, :]
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # Hankel construction
 # ---------------------------------------------------------------------------
