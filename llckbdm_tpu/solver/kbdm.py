@@ -60,15 +60,16 @@ class KbdmConfig:
                                  # iters=3 config-1 gate and the brain
                                  # f32-stage line count — 2 keeps every
                                  # committed gate green.
-    eigh_sweeps: int = 8         # Jacobi sweeps for Hermitian eigh /
+    eigh_sweeps: int = 7         # Jacobi sweeps for Hermitian eigh /
                                  # gram_svd.  Tuned r05
-                                 # (tools/tune_sweeps.py): every reduced
-                                 # (eig_sweeps, eigh_sweeps) pair down to
-                                 # (5, 4) FAILS the committed noiseless
-                                 # iters=3 chip gate (8.7e-8..2.7e-6 vs
-                                 # 1e-8) while saving only ~9-19 ms of the
-                                 # 217 ms V=512 sweep — (10, 8) is the
-                                 # measured minimum, not a guess.
+                                 # (tools/tune_sweeps.py + follow-up):
+                                 # (10, 7) PASSES both committed config-1
+                                 # chip gates with margin IDENTICAL to
+                                 # (10, 8) (3.60e-9 vs 3.63e-9) and the
+                                 # brain m=512 chip gate; (10, 6) fails
+                                 # at 8.7e-8 and every pair that also
+                                 # cuts eig_sweeps fails — 7 is the
+                                 # measured gram_svd convergence cliff.
     eig_sweeps: int = 10         # Jacobi sweeps for complex-symmetric eig.
                                  # The (un-floored) production convergence
                                  # counter shows the quadratic cliff lands
