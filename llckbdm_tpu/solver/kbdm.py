@@ -177,7 +177,12 @@ def _poles_to_lines(mu: CArr, keep, c: CArr, dwell: float, n: int,
     g = cwhere(pair_valid, g, CArr(jnp.broadcast_to(eye, g.re.shape),
                                    jnp.zeros_like(g.re)))
 
-    # RHS: b_j = sum_n conj(mu_j)^n c_n  (chunked scan over the time axis)
+    # RHS: b_j = sum_n conj(mu_j)^n c_n, FACTORED over time chunks:
+    #   mu^(i*chunk + k) = step^i * base_k  with  step = mu^chunk,
+    # so  b_j = sum_i conj(step^i)_j * (sum_k conj(base_jk) c_{i,k}).
+    # Both contractions are single parallel einsums — the former lax.scan
+    # ran n_chunks SEQUENTIAL dependency-chained steps for the identical
+    # flops (carries now come from cpowers in closed form).
     chunk = cfg.rhs_chunk
     n_chunks = (n + chunk - 1) // chunk
     n_pad = n_chunks * chunk
@@ -193,23 +198,19 @@ def _poles_to_lines(mu: CArr, keep, c: CArr, dwell: float, n: int,
     base = cpowers(mu_for_pow, chunk)
     step = cpow_fixed(mu_for_pow, chunk)              # (..., p): mu^chunk
 
-    def body(carry, idx):
-        # carry: (..., p) complex = mu^(idx*chunk)
-        pw = cmul(CArr(carry.re[..., :, None], carry.im[..., :, None]), base)
-        cseg = CArr(jax.lax.dynamic_slice_in_dim(c_pad.re, idx * chunk, chunk, -1),
-                    jax.lax.dynamic_slice_in_dim(c_pad.im, idx * chunk, chunk, -1))
-        # b_j += sum_k conj(pw[j,k]) * cseg[k]
-        br = _es('...pk,...k->...p', pw.re, cseg.re) + \
-             _es('...pk,...k->...p', pw.im, cseg.im)
-        bi = _es('...pk,...k->...p', pw.re, cseg.im) - \
-             _es('...pk,...k->...p', pw.im, cseg.re)
-        new_carry = cmul(carry, step)
-        return new_carry, (br, bi)
-
-    carry0 = CArr(jnp.ones_like(mu.re), jnp.zeros_like(mu.re))
-    _, (brs, bis) = jax.lax.scan(body, carry0, jnp.arange(n_chunks))
-    b = CArr(brs.sum(0) * jnp.where(amp_valid, 1.0, 0.0),
-             bis.sum(0) * jnp.where(amp_valid, 1.0, 0.0))
+    c_resh = CArr(c_pad.re.reshape(*c_pad.re.shape[:-1], n_chunks, chunk),
+                  c_pad.im.reshape(*c_pad.im.shape[:-1], n_chunks, chunk))
+    # t_ji = sum_k conj(base[j, k]) c[i, k]   -> (..., p, n_chunks)
+    tr = _es('...pk,...ik->...pi', base.re, c_resh.re) + \
+         _es('...pk,...ik->...pi', base.im, c_resh.im)
+    ti = _es('...pk,...ik->...pi', base.re, c_resh.im) - \
+         _es('...pk,...ik->...pi', base.im, c_resh.re)
+    carr = cpowers(step, n_chunks)                    # (..., p, n_chunks)
+    # b_j = sum_i conj(carr[j, i]) t[j, i]
+    br = jnp.sum(carr.re * tr + carr.im * ti, axis=-1)
+    bi = jnp.sum(carr.re * ti - carr.im * tr, axis=-1)
+    b = CArr(br * jnp.where(amp_valid, 1.0, 0.0),
+             bi * jnp.where(amp_valid, 1.0, 0.0))
 
     d = hermitian_solve(g, b, rcond=cfg.gram_rcond, sweeps=cfg.eigh_sweeps)
     amp = cabs(d)
