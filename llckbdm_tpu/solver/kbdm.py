@@ -50,7 +50,13 @@ class KbdmConfig:
     TPU-specific knobs; SURVEY.md §5 'config system')."""
 
     p: int = 24                  # truncation rank / line capacity per run
-    oversample: int = 8          # extra subspace dims for the randomized SVD
+    oversample: int = 8          # extra subspace dims for the randomized
+                                 # SVD.  Tuned r05: 6 and 4 FAIL the
+                                 # committed noiseless iters=3 chip gate
+                                 # (8.0e-7 / 1.9e-6 vs 1e-8) and save
+                                 # ~nothing (k^2 kernel cost 200 -> 193 ms
+                                 # sweep at k=20) — 8 is the measured
+                                 # minimum, like every other default here.
     subspace_iters: int = 2      # power iterations (each ~ one U0 U0^H
                                  # apply).  1 is ~18 ms/launch faster and
                                  # passes every CPU gate and the iters=6
