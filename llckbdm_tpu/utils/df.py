@@ -313,6 +313,12 @@ def dfc_powers(z: DFC, n: int) -> DFC:
     Uses the binary decomposition z^k = prod_j z^(2^j * bit_j(k)): log2(n)
     repeated squarings, then a fully parallel product over set bits — no
     O(n) sequential chain.
+
+    A two-level factorization z^(i*c+k) = (z^c)^i z^k (one full-size df
+    multiply instead of the log2(n) chained ones) was measured r05 and
+    REJECTED: refine at V=2048/iters=6 ran 115.6 ms factored vs 94.1 ms
+    with this chain — XLA fuses the chained where/multiply passes, while
+    the factored outer product materializes full-size broadcast operands.
     """
     nbits = max(1, int(np.ceil(np.log2(max(n, 2)))))
     # squarings: z^(2^j)
