@@ -269,9 +269,11 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
                             preferred_element_type=jnp.float32)
 
     h0 = hankel_matrices(c, m_max)            # (..., m_max, m_max)
-    h1 = hankel_matrices(c, m_max, shift=1)
+    # U1 is never materialized: the reduced-matrix step derives U1 applies
+    # from U0 ones via the Hankel shift structure (see below) — halves the
+    # operator's HBM residency and removes the second gather.
     if _stop == "hankel":
-        return h0, h1
+        return h0
     masks = np.zeros((len(m_values), m_max), np.float32)
     for s, m in enumerate(m_values):
         masks[s, :m] = 1.0
@@ -418,7 +420,8 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
         return q
 
     # Rayleigh-Ritz Takagi on the k x k projected Hankel
-    m_small = gram_sk(q, apply_op(h0, conj(q)))      # (..., S, k, k)
+    t0 = apply_op(h0, conj(q))                       # (..., m, S, k)
+    m_small = gram_sk(q, t0)                         # (..., S, k, k)
     m_small = CArr(0.5 * (m_small.re + jnp.swapaxes(m_small.re, -1, -2)),
                    0.5 * (m_small.im + jnp.swapaxes(m_small.im, -1, -2)))
     if _stop == "m_small":
@@ -426,13 +429,45 @@ def kbdm_sweep(c: CArr, dwell: float, m_values: Sequence[int],
     w, sig = takagi_small(m_small, sweeps=cfg.eigh_sweeps)
     if _stop == "takagi":
         return w, sig
-    u_p = mix_sk(q, CArr(w.re[..., :p], w.im[..., :p]))  # (..., m, S, p)
+    w_p = CArr(w.re[..., :p], w.im[..., :p])
+    u_p = mix_sk(q, w_p)                                  # (..., m, S, p)
     sig_p = sig[..., :p]                                  # (..., S, p)
     keep_s = sig_p > sig[..., :1] * cfg.rank_tol
     s_isq = jnp.where(keep_s, jax.lax.rsqrt(jnp.maximum(sig_p, 1e-30)), 0.0)
 
-    # reduced matrix  U~ = S^-1/2 U_p^H U1 conj(U_p) S^-1/2
-    t = apply_op(h1, conj(u_p))
+    # reduced matrix  U~ = S^-1/2 U_p^H U1 conj(U_p) S^-1/2.
+    # U1 conj(u_p) WITHOUT materializing or applying U1 (r05): the Hankel
+    # shift structure gives, per sweep entry s with order m_s,
+    #   (U1^(s) x)_i = (U0^(s) x)_{i+1}              for i <= m_s - 2
+    #   (U1^(s) x)_{m_s-1} = sum_{j<m_s} c[m_s+j] x_j  (one new row)
+    # and U0 conj(u_p) = U0 conj(q w_p) = t0 conj(w_p) — t0 already
+    # exists from the Rayleigh-Ritz step.  This replaces the 8 m^2 S p V
+    # dense apply (plus the (V, m, m) U1 gather and its HBM residency)
+    # with an 8 m S k p V mix (k/m ~ 10x fewer flops), a row shift, and a
+    # rank-1 correction row.  Algebraically exact; f32 rounding differs
+    # from the dense apply only in summation order (gates re-proven).
+    t0w = mix_sk(t0, conj(w_p))                           # = U0 conj(u_p)
+    zrow = jnp.zeros((*t0w.re.shape[:-3], 1, *t0w.re.shape[-2:]),
+                     t0w.re.dtype)
+    t = CArr(jnp.concatenate([t0w.re[..., 1:, :, :], zrow], axis=-3),
+             jnp.concatenate([t0w.im[..., 1:, :, :], zrow], axis=-3))
+    # correction rows: cshift[j, s] = c[m_s + j] (masked j < m_s)
+    idx_np = np.empty((m_max, ns), np.int64)
+    for s_i, m_s in enumerate(m_values):
+        idx_np[:, s_i] = np.minimum(m_s + np.arange(m_max), n - 1)
+    idxc = jnp.asarray(idx_np)
+    cshift = CArr(c.re[..., idxc] * mk[..., 0], c.im[..., idxc] * mk[..., 0])
+    up_c = conj(u_p)
+    corr_re = _esp('...ms,...msp->...sp', cshift.re, up_c.re) - \
+        _esp('...ms,...msp->...sp', cshift.im, up_c.im)
+    corr_im = _esp('...ms,...msp->...sp', cshift.re, up_c.im) + \
+        _esp('...ms,...msp->...sp', cshift.im, up_c.re)
+    row_sel = np.zeros((m_max, ns, 1), np.float32)
+    for s_i, m_s in enumerate(m_values):
+        row_sel[m_s - 1, s_i, 0] = 1.0
+    rs = jnp.asarray(row_sel)
+    t = CArr(t.re * mk + rs * corr_re[..., None, :, :],
+             t.im * mk + rs * corr_im[..., None, :, :])
     ut = gram_sk(u_p, t)                                  # (..., S, p, p)
     ut = CArr(ut.re * s_isq[..., :, None] * s_isq[..., None, :],
               ut.im * s_isq[..., :, None] * s_isq[..., None, :])
