@@ -298,7 +298,8 @@ def main():
     f_lines1 = float(s * v) * (nch * kc.rhs_chunk * p * 14
                                + 60 * p * p + 8 * p ** 3 / 3)
     ideal = {
-        "hankel x2 (HBM)": 2 * (v * m_max * m_max * 8) / HBM_BW,
+        # U0 only: U1 is never materialized (shift-structure reduced step)
+        "hankel U0 (HBM)": (v * m_max * m_max * 8) / HBM_BW,
         "bf16 applies x%d" % (1 + it_sub):
             (1 + it_sub) * f_apply16 / MXU_BF16_PEAK,
         "bf16 orth grams/mixes": it_sub * 2 * f_gram / MXU_BF16_PEAK,
@@ -308,8 +309,10 @@ def main():
         "m_small apply+gram (f32)":
             (8.0 * m_max * m_max * k * s * v + f_gram) / MXU_F32_PEAK,
         "takagi (gram_svd kernel)": f_takagi1 / VPU_PEAK,
-        "u_p mix + U1 apply + gram (f32)":
-            (8.0 * m_max * k * p * s * v + 8.0 * m_max * m_max * p * s * v
+        # U1 conj(u_p) = shift(t0 conj(w_p)) + correction row: a k->p mix
+        # + rank-1 row work instead of the dense m x m apply
+        "u_p mix + U1-shift mix + gram (f32)":
+            (8.0 * m_max * k * p * s * v + 8.0 * m_max * k * p * s * v
              + 8.0 * m_max * p * p * s * v) / MXU_F32_PEAK,
         "eig_cs kernel": f_eig1 / VPU_PEAK,
         "poles->lines": f_lines1 / VPU_PEAK,
